@@ -1,0 +1,45 @@
+"""Ray Data execution-context tuning.
+
+Central place for the DataContext knobs so every pipeline/bench/test uses the
+same execution profile.  Mirrors the reference's centralized CLI parameter
+groups (``input_params.py:11-70``) — batch sizes and worker counts live in one
+module instead of being scattered per stage.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+def tune_data_context(
+    *,
+    target_max_block_size: int | None = 128 * 1024 * 1024,
+    preserve_order: bool = False,
+    quiet: bool = True,
+) -> None:
+    """Apply standard DataContext settings.
+
+    ``preserve_order=False`` lets the streaming executor consume blocks in
+    completion order (the analog of the reference's ``as_completed``
+    consumption, ``compilation_parser.py:222``) — all our canonicalization
+    semantics are order-independent by design (SURVEY §7.5), so order
+    preservation is never required for correctness.
+    """
+    ctx = ray.data.DataContext.get_current()
+    if target_max_block_size is not None:
+        ctx.target_max_block_size = target_max_block_size
+    ctx.execution_options.preserve_order = preserve_order
+    if quiet:
+        ctx.enable_progress_bars = False
+        try:
+            ctx.execution_options.verbose_progress = False
+        except AttributeError:
+            pass
+
+
+# Default per-stage batch sizing (the analog of the reference's
+# cypher_tx_size=2000 / ingest_batch_size defaults, input_params.py:30-36).
+DEFAULT_BATCH_SIZE = 4096
+# Small batches for stages whose rows carry large binary payloads (html);
+# SURVEY §7.5 "very wide rows".
+WIDE_ROW_BATCH_SIZE = 256

@@ -1,0 +1,70 @@
+"""Stable content-hash identity functions.
+
+The reference keys every symbol by a 16-hex-char content hash of the USR
+(``clangd_index_yaml_parser.py:92-108``; spec ``docs/clangd-index-yaml-spec.txt``)
+and relies on that stability for dedup (D1) and Cypher MERGE idempotency (D5).
+We use md5-derived IDs because DuckDB ships ``md5()`` — every hash here is
+reproducible in the ANSI-SQL oracle, which is what makes the driver's
+value-hash correctness gate possible.
+
+All helpers are batch-oriented (list/ndarray in, ndarray out) so they can be
+used inside ``map_batches`` without per-row Python dispatch overhead beyond
+the C-speed hashlib call.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable
+
+import numpy as np
+
+__all__ = [
+    "entity_id",
+    "entity_ids",
+    "md5_hex",
+    "md5_hex_many",
+    "md5_int60",
+    "md5_int60_many",
+]
+
+
+def md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def entity_id(name: str) -> str:
+    """16-hex-char stable content hash — the clangd symbol-ID analog.
+
+    SQL equivalent: ``substr(md5(name), 1, 16)``.
+    """
+    return md5_hex(name)[:16]
+
+
+def md5_hex_many(values: Iterable[str]) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.array([md5(v.encode("utf-8")).hexdigest() for v in values], dtype=object)
+
+
+def entity_ids(values: Iterable[str]) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.array(
+        [md5(v.encode("utf-8")).hexdigest()[:16] for v in values], dtype=object
+    )
+
+
+def md5_int60(s: str) -> int:
+    """First 15 hex chars of md5 as a 60-bit non-negative int.
+
+    Fits in a signed int64 on both sides.  SQL equivalent:
+    ``cast(('0x' || substr(md5(s), 1, 15)) as bigint)``.
+    """
+    return int(md5_hex(s)[:15], 16)
+
+
+def md5_int60_many(values: Iterable[str]) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int(md5(v.encode("utf-8")).hexdigest()[:15], 16) for v in values),
+        dtype=np.int64,
+    )

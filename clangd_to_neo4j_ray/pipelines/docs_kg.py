@@ -1,0 +1,512 @@
+"""Knowledge-graph construction over the ``documents`` table.
+
+This is the driver-checkable materialization of the flagship pipeline: the
+same extract -> mention-detect -> link -> canonicalize -> materialize flow as
+``pipelines/build_graph.py`` runs on the pages schema, expressed over the
+testdata ``documents(doc_id, text, lang, source, n_chars)`` table so every
+stage has an exact ANSI-SQL oracle (DuckDB).
+
+Reference correspondences (SURVEY §2):
+- mention detection = RefKind-filtered reference scan
+  (``clangd_call_graph_builder.py:163-173,213``);
+- entity nodes = symbol dedup by content-hash ID, D1
+  (``clangd_index_yaml_parser.py:257-258``);
+- co-occurrence triples = CallRelation emission + MERGE dedup, D5
+  (``clangd_call_graph_builder.py:39-44``);
+- node/edge union + orphan cleanup = Passes 3-6 + 8
+  (``clangd_graph_rag_builder.py:124-174,200-207``, ``neo4j_manager.py:124-128``);
+- graph stats = A1 (``clangd_call_graph_builder.py:52-82``).
+
+Scale notes: every stage is ``map_batches`` over Arrow with a *per-batch
+partial aggregate* before the single global ``groupby`` — the salted
+two-phase aggregation the north_rule mandates (the batch is the salt), so a
+head entity ("the") never concentrates raw rows on one reducer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.hashing import entity_ids
+from ..functions.textops import adjacent_pairs, explode_tokens
+
+# ---------------------------------------------------------------------------
+# Entity dictionary (side input) — the analog of the reference's symbol table
+# keyed by stable content-hash IDs (clangd_index_yaml_parser.py:92-108).
+# Fixed vocabulary over the synthetic corpus; kinds mirror Symbol.kind
+# (Function/Struct/... -> Op/Obj/Unit/System).
+# ---------------------------------------------------------------------------
+ENTITY_VOCAB: dict[str, str] = {
+    "spark": "System",
+    "hash": "Algo",
+    "join": "Op",
+    "sort": "Op",
+    "merge": "Op",
+    "filter": "Op",
+    "scan": "Op",
+    "group": "Op",
+    "agg": "Op",
+    "window": "Op",
+    "order": "Op",
+    "batch": "Unit",
+    "stream": "Unit",
+    "query": "Unit",
+    "table": "Obj",
+    "column": "Obj",
+    "row": "Obj",
+    "key": "Obj",
+    "data": "Obj",
+    "value": "Obj",
+    "vector": "Obj",
+    "customer": "Obj",
+    "line": "Obj",
+    "part": "Obj",
+}
+
+VOCAB_WORDS = sorted(ENTITY_VOCAB)
+_VOCAB_ARRAY = pa.array(VOCAB_WORDS, type=pa.string())
+PRED_COOCCURS = "cooccurs_with"
+
+# SQL literal for the vocabulary, reused by every oracle query.
+SQL_VOCAB_VALUES = ", ".join(
+    f"('{w}', '{ENTITY_VOCAB[w]}')" for w in VOCAB_WORDS
+)
+SQL_TOK = (
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+    "generate_subscripts(string_split(text, ' '), 1) AS i FROM documents)"
+)
+SQL_VOCAB = f"vocab AS (SELECT * FROM (VALUES {SQL_VOCAB_VALUES}) v(name, kind))"
+
+
+def _read_documents(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    """Column-pruned read of the documents table (prune at the read)."""
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Stage: mention detection (vectorized explode + dictionary membership)
+# ---------------------------------------------------------------------------
+
+def _mention_partials(batch: pa.Table) -> pa.Table:
+    """One batch -> partial (doc_id, name, n) counts of vocabulary mentions.
+
+    Vectorized: Arrow split/flatten + is_in mask + Arrow group_by partial
+    aggregation.  Emitting partials per batch (instead of raw mention rows)
+    is the combiner half of the two-phase aggregation.
+    """
+    flat, _pos, parents = explode_tokens(batch)
+    mask = pc.is_in(flat, value_set=_VOCAB_ARRAY)
+    idx = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parents[idx]]
+    t = pa.table(
+        {"doc_id": pa.array(doc_ids, type=pa.int64()), "name": flat.take(pa.array(idx))}
+    )
+    return t.group_by(["doc_id", "name"]).aggregate([([], "count_all")]).rename_columns(
+        ["doc_id", "name", "n"]
+    )
+
+
+def kg_mentions(sf_dir: str) -> ray.data.Dataset:
+    """Per-document mention counts of dictionary entities.
+
+    Output: (doc_id, entity_id, name, n_mentions).
+    """
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    partials = ds.map_batches(_mention_partials, batch_format="pyarrow")
+    agg = partials.groupby(["doc_id", "name"]).aggregate(
+        Sum(on="n", alias_name="n_mentions")
+    )
+    return agg.map_batches(_add_entity_id_for("name"), batch_format="pyarrow")
+
+
+def _add_entity_id_for(name_col: str, id_col: str = "entity_id"):
+    def add(batch: pa.Table) -> pa.Table:
+        ids = entity_ids(batch[name_col].to_pylist())
+        return batch.append_column(id_col, pa.array(ids, type=pa.string()))
+
+    return add
+
+
+# ---------------------------------------------------------------------------
+# Stage: entity canonicalization (D1 symbol dedup analog)
+# ---------------------------------------------------------------------------
+
+def kg_entity_nodes(sf_dir: str) -> ray.data.Dataset:
+    """Canonical entity nodes with corpus-wide stats.
+
+    Output: (entity_id, name, kind, n_mentions, n_docs).  ``n_docs`` is a
+    count-distinct expressed shuffle-free as a count over the per-doc partial
+    rows (one row per (doc, name) after the first aggregation).
+    """
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    partials = ds.map_batches(_mention_partials, batch_format="pyarrow")
+    per_doc = partials.groupby(["doc_id", "name"]).aggregate(
+        Sum(on="n", alias_name="n")
+    )
+    per_entity = per_doc.groupby("name").aggregate(
+        Sum(on="n", alias_name="n_mentions"), Count(alias_name="n_docs")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = batch["name"].to_pylist()
+        return pa.table(
+            {
+                "entity_id": pa.array(entity_ids(names), type=pa.string()),
+                "name": batch["name"],
+                "kind": pa.array([ENTITY_VOCAB[n] for n in names], type=pa.string()),
+                "n_mentions": batch["n_mentions"],
+                "n_docs": batch["n_docs"],
+            }
+        )
+
+    return per_entity.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Stage: triple extraction + canonicalization shuffle (J4 + D5 analogs)
+# ---------------------------------------------------------------------------
+
+def _triple_partials(batch: pa.Table) -> pa.Table:
+    """Adjacent vocab-token pairs -> partial (w1, w2, evidence_doc, n) rows.
+
+    The pair scan is the spatial-adjacency linking analog (J4,
+    clangd_call_graph_builder.py:124-201) done fully vectorized; the partial
+    min/count is the combiner for the global MERGE-dedup shuffle (D5).
+    """
+    flat, _pos, parents = explode_tokens(batch)
+    in_vocab = pc.is_in(flat, value_set=_VOCAB_ARRAY).to_numpy(zero_copy_only=False)
+    adj = adjacent_pairs(parents)  # indices i where parents[i] == parents[i+1]
+    if len(adj):
+        both = in_vocab[adj] & in_vocab[adj + 1]
+        adj = adj[both]
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parents[adj]]
+    t = pa.table(
+        {
+            "w1": flat.take(pa.array(adj)),
+            "w2": flat.take(pa.array(adj + 1)),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+        }
+    )
+    out = t.group_by(["w1", "w2"]).aggregate([("doc_id", "min"), ([], "count_all")])
+    return out.rename_columns(["w1", "w2", "evidence_doc", "n"])
+
+
+def kg_triples(sf_dir: str) -> ray.data.Dataset:
+    """Canonical deduped (subj, pred, obj) co-occurrence triples.
+
+    Output: (subj, pred, obj, subj_name, obj_name, evidence_doc,
+    n_occurrences).  Dedup on (subj, pred, obj) with deterministic min-doc
+    evidence witness — the order-independent replacement for the reference's
+    last-wins dict semantics (SURVEY §7.5; D5 MERGE idempotency).
+    """
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    partials = ds.map_batches(_triple_partials, batch_format="pyarrow")
+    agg = partials.groupby(["w1", "w2"]).aggregate(
+        Min(on="evidence_doc", alias_name="evidence_doc"),
+        Sum(on="n", alias_name="n_occurrences"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        w1 = batch["w1"].to_pylist()
+        w2 = batch["w2"].to_pylist()
+        return pa.table(
+            {
+                "subj": pa.array(entity_ids(w1), type=pa.string()),
+                "pred": pa.array([PRED_COOCCURS] * len(w1), type=pa.string()),
+                "obj": pa.array(entity_ids(w2), type=pa.string()),
+                "subj_name": batch["w1"],
+                "obj_name": batch["w2"],
+                "evidence_doc": batch["evidence_doc"],
+                "n_occurrences": batch["n_occurrences"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Stage: node/edge materialization (Passes 3-6) + orphan cleanup (A8)
+# ---------------------------------------------------------------------------
+
+def kg_nodes(sf_dir: str) -> ray.data.Dataset:
+    """Graph node table: SOURCE + PAGE + ENTITY labels, unique on node_id.
+
+    ENTITY nodes include only mentioned entities — the orphan-cleanup
+    anti-join analog (neo4j_manager.py:124-128) is applied by construction.
+    Output: (node_id, label, name).
+    """
+    docs = _read_documents(sf_dir, ["doc_id", "source"])
+
+    def doc_nodes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "node_id": pa.array([f"doc:{i}" for i in ids], type=pa.string()),
+                "label": pa.array(["PAGE"] * len(ids), type=pa.string()),
+                "name": pa.array([f"doc:{i}" for i in ids], type=pa.string()),
+            }
+        )
+
+    def source_partials(batch: pa.Table) -> pa.Table:
+        uniq = pc.unique(batch["source"])
+        return pa.table({"source": uniq})
+
+    pages = docs.map_batches(doc_nodes, batch_format="pyarrow")
+    sources = (
+        docs.map_batches(source_partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node_id": pa.array(
+                        [f"source:{s}" for s in b["source"].to_pylist()],
+                        type=pa.string(),
+                    ),
+                    "label": pa.array(["SOURCE"] * len(b), type=pa.string()),
+                    "name": b["source"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    entities = kg_entity_nodes(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "node_id": b["entity_id"],
+                "label": pa.array(["ENTITY"] * len(b), type=pa.string()),
+                "name": b["name"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pages.union(sources).union(entities)
+
+
+def kg_edges(sf_dir: str) -> ray.data.Dataset:
+    """Graph edge table, unique on (src, type, dst), with occurrence weight.
+
+    CONTAINS (source->doc) = hierarchy edges (clangd_symbol_nodes_builder.py:502-569);
+    MENTIONS (doc->entity) = DEFINES analog (:210-220);
+    cooccurs_with (entity->entity) = CALLS analog (clangd_call_graph_builder.py:39-44).
+    Output: (src, type, dst, n).
+    """
+    docs = _read_documents(sf_dir, ["doc_id", "source"])
+
+    def contains(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        return pa.table(
+            {
+                "src": pa.array([f"source:{s}" for s in srcs], type=pa.string()),
+                "type": pa.array(["CONTAINS"] * len(ids), type=pa.string()),
+                "dst": pa.array([f"doc:{i}" for i in ids], type=pa.string()),
+                "n": pa.array([1] * len(ids), type=pa.int64()),
+            }
+        )
+
+    contains_ds = docs.map_batches(contains, batch_format="pyarrow")
+
+    mentions_ds = kg_mentions(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.array(
+                    [f"doc:{i}" for i in b["doc_id"].to_pylist()], type=pa.string()
+                ),
+                "type": pa.array(["MENTIONS"] * len(b), type=pa.string()),
+                "dst": b["entity_id"],
+                "n": b["n_mentions"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cooccur_ds = kg_triples(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["subj"],
+                "type": b["pred"],
+                "dst": b["obj"],
+                "n": b["n_occurrences"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return contains_ds.union(mentions_ds).union(cooccur_ds)
+
+
+# ---------------------------------------------------------------------------
+# Stage: per-source rollup (hierarchy aggregate, A5/A6 analog)
+# ---------------------------------------------------------------------------
+
+def kg_sources(sf_dir: str) -> ray.data.Dataset:
+    """Per-source rollup: doc count, token totals, mention-token totals.
+
+    Output: (source, n_docs, n_tokens, n_mention_tokens).  The folder-rollup
+    analog (code_graph_rag_generator.py:368-423) without the LLM: group
+    children stats up one hierarchy level.
+    """
+    ds = _read_documents(sf_dir, ["doc_id", "source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, _pos, parents = explode_tokens(batch)
+        in_vocab = pc.is_in(flat, value_set=_VOCAB_ARRAY).to_numpy(
+            zero_copy_only=False
+        )
+        srcs = batch["source"].to_numpy(zero_copy_only=False)
+        n_rows = len(batch)
+        tok_counts = np.bincount(parents, minlength=n_rows)
+        mention_counts = np.bincount(
+            parents[in_vocab], minlength=n_rows
+        )
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "docs": pa.array(np.ones(n_rows, dtype=np.int64)),
+                "toks": pa.array(tok_counts.astype(np.int64)),
+                "ments": pa.array(mention_counts.astype(np.int64)),
+            }
+        )
+        out = t.group_by("source").aggregate(
+            [("docs", "sum"), ("toks", "sum"), ("ments", "sum")]
+        )
+        return out.rename_columns(["source", "docs", "toks", "ments"])
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").groupby("source").aggregate(
+        Sum(on="docs", alias_name="n_docs"),
+        Sum(on="toks", alias_name="n_tokens"),
+        Sum(on="ments", alias_name="n_mention_tokens"),
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# Stage: graph statistics (A1 analog) — small final aggregate
+# ---------------------------------------------------------------------------
+
+def kg_stats(sf_dir: str):
+    """Call-graph-statistics analog over the deduped triple set.
+
+    Output single row: (n_triples, n_subjects, n_objects, n_recursive,
+    n_entry_points, n_leaves).  Entry points = subjects never appearing as
+    objects; leaves = objects never appearing as subjects; recursive = subj ==
+    obj (clangd_call_graph_builder.py:52-82).  The triple set is bounded by
+    |vocab|^2, so finishing on the driver is correct at any input scale.
+    """
+    triples = kg_triples(sf_dir).select_columns(
+        ["subj_name", "obj_name"]
+    ).take_all()
+    subs = {t["subj_name"] for t in triples}
+    objs = {t["obj_name"] for t in triples}
+    n_recursive = sum(1 for t in triples if t["subj_name"] == t["obj_name"])
+    out = pa.table(
+        {
+            "n_triples": pa.array([len(triples)], type=pa.int64()),
+            "n_subjects": pa.array([len(subs)], type=pa.int64()),
+            "n_objects": pa.array([len(objs)], type=pa.int64()),
+            "n_recursive": pa.array([n_recursive], type=pa.int64()),
+            "n_entry_points": pa.array([len(subs - objs)], type=pa.int64()),
+            "n_leaves": pa.array([len(objs - subs)], type=pa.int64()),
+        }
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (exact parity with the Ray implementations above)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "kg_mentions": f"""
+WITH {SQL_TOK}, {SQL_VOCAB}
+SELECT t.doc_id, substr(md5(t.tok), 1, 16) AS entity_id, t.tok AS name,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM tok t JOIN vocab v ON t.tok = v.name
+GROUP BY t.doc_id, t.tok
+""",
+    "kg_entity_nodes": f"""
+WITH {SQL_TOK}, {SQL_VOCAB}
+SELECT substr(md5(t.tok), 1, 16) AS entity_id, t.tok AS name, v.kind,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs
+FROM tok t JOIN vocab v ON t.tok = v.name
+GROUP BY t.tok, v.kind
+""",
+    "kg_triples": f"""
+WITH {SQL_TOK}, {SQL_VOCAB},
+pairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
+)
+SELECT substr(md5(w1), 1, 16) AS subj, '{PRED_COOCCURS}' AS pred,
+       substr(md5(w2), 1, 16) AS obj, w1 AS subj_name, w2 AS obj_name,
+       min(doc_id) AS evidence_doc, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY w1, w2
+""",
+    "kg_nodes": f"""
+WITH {SQL_TOK}, {SQL_VOCAB}
+SELECT 'doc:' || doc_id AS node_id, 'PAGE' AS label, 'doc:' || doc_id AS name
+FROM documents
+UNION ALL
+SELECT DISTINCT 'source:' || source, 'SOURCE', source FROM documents
+UNION ALL
+SELECT DISTINCT substr(md5(t.tok), 1, 16), 'ENTITY', t.tok
+FROM tok t WHERE t.tok IN (SELECT name FROM vocab)
+""",
+    "kg_edges": f"""
+WITH {SQL_TOK}, {SQL_VOCAB},
+pairs AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
+)
+SELECT 'source:' || source AS src, 'CONTAINS' AS type, 'doc:' || doc_id AS dst,
+       CAST(1 AS BIGINT) AS n
+FROM documents
+UNION ALL
+SELECT 'doc:' || doc_id, 'MENTIONS', substr(md5(tok), 1, 16),
+       CAST(count(*) AS BIGINT)
+FROM tok WHERE tok IN (SELECT name FROM vocab) GROUP BY doc_id, tok
+UNION ALL
+SELECT substr(md5(w1), 1, 16), '{PRED_COOCCURS}', substr(md5(w2), 1, 16),
+       CAST(count(*) AS BIGINT)
+FROM pairs GROUP BY w1, w2
+""",
+    "kg_sources": f"""
+WITH {SQL_TOK}, {SQL_VOCAB},
+per_doc AS (
+  SELECT t.doc_id, count(*) AS toks,
+         count(*) FILTER (t.tok IN (SELECT name FROM vocab)) AS ments
+  FROM tok t GROUP BY t.doc_id
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.toks) AS BIGINT) AS n_tokens,
+       CAST(sum(p.ments) AS BIGINT) AS n_mention_tokens
+FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source
+""",
+    "kg_stats": f"""
+WITH {SQL_TOK}, {SQL_VOCAB},
+pairs AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
+),
+triples AS (SELECT w1, w2 FROM pairs GROUP BY w1, w2)
+SELECT CAST((SELECT count(*) FROM triples) AS BIGINT) AS n_triples,
+       CAST((SELECT count(DISTINCT w1) FROM triples) AS BIGINT) AS n_subjects,
+       CAST((SELECT count(DISTINCT w2) FROM triples) AS BIGINT) AS n_objects,
+       CAST((SELECT count(*) FROM triples WHERE w1 = w2) AS BIGINT) AS n_recursive,
+       CAST((SELECT count(DISTINCT w1) FROM triples
+             WHERE w1 NOT IN (SELECT w2 FROM triples)) AS BIGINT) AS n_entry_points,
+       CAST((SELECT count(DISTINCT w2) FROM triples
+             WHERE w2 NOT IN (SELECT w1 FROM triples)) AS BIGINT) AS n_leaves
+""",
+}
