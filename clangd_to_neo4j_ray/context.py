@@ -37,6 +37,22 @@ def tune_data_context(
             pass
 
 
+def default_pool_size() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds that leave CPU headroom for the read
+    and shuffle stages.
+
+    A pool that reserves every CPU starves the task operators feeding it and
+    the pipeline deadlocks (observed with concurrency=4 on a 4-CPU local
+    cluster).  The reference sizes its pools the same way: parse workers
+    default to ceil(cpu/2), not cpu (``input_params.py:16-24``).
+    """
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(1, cpus - 1))
+
+
 # Default per-stage batch sizing (the analog of the reference's
 # cypher_tx_size=2000 / ingest_batch_size defaults, input_params.py:30-36).
 DEFAULT_BATCH_SIZE = 4096

@@ -1,0 +1,210 @@
+"""Deterministic pages-table fixture generator (FIXTURES.md F1-F4).
+
+Synthesizes the Common-Crawl-style input table from BASELINE.json
+``input_hint`` — ``pages(url, warc_ts, html, text, lang)`` — plus the entity
+alias dictionary (F2) and the *planted* oracle mention/triple sets (F3/F4).
+Everything is seeded; no wall clock, no external data.
+
+The grammar plants two kinds of relation evidence, mirroring the reference's
+two caller-resolution paths (SURVEY §2.4):
+- **anchored** sentences ``"<alias A> <pred phrase> <alias B>."`` — explicit
+  subject, the Container-field path (``clangd_call_graph_builder.py:203-227``);
+- **pronoun** sentences ``"It <pred phrase> <alias B>."`` — subject must be
+  resolved to the nearest preceding anchored subject in the same page, the
+  spatial-containment path (``clangd_call_graph_builder.py:124-201``,
+  first-match-in-order semantics).
+
+Domains are Zipf-skewed (FIXTURES.md F1) so head-domain skew is exercised.
+All text is ASCII: char offsets == byte offsets.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..functions.hashing import entity_id
+
+SEED = 42
+N_ENTITIES = 500
+N_DOMAINS = 50
+EPOCH_US = 1735689600000000  # 2025-01-01T00:00:00Z in epoch microseconds
+
+KINDS = ["Person", "Org", "Place", "Work"]
+PRED_PHRASES = {
+    "works for": "works_for",
+    "is located in": "located_in",
+    "is affiliated with": "affiliated_with",
+    "links to": "links_to",
+}
+FILLERS = [
+    "the quick brown fox jumps over the lazy dog.",
+    "a rolling stone gathers no moss today.",
+    "many hands make light work around here.",
+    "every cloud has a silver lining somewhere.",
+]
+
+
+@dataclass
+class EntityRecord:
+    entity_id: str
+    canonical_name: str
+    kind: str
+    aliases: list[str] = field(default_factory=list)
+
+
+def make_entities() -> list[EntityRecord]:
+    """F2 dictionary: content-hash IDs, 1-3 deterministic alias variants."""
+    out = []
+    for i in range(N_ENTITIES):
+        name = f"Entity{i:04d}"
+        kind = KINDS[i % 4]
+        aliases = [name, f"E{i:04d}"]
+        if kind == "Org":
+            aliases.append(f"The {name}")
+        out.append(EntityRecord(entity_id(name), name, kind, aliases))
+    return out
+
+
+def alias_lookup(entities: list[EntityRecord]) -> dict[str, str]:
+    """alias surface -> entity_id (aliases are unique by construction)."""
+    lut: dict[str, str] = {}
+    for e in entities:
+        for a in e.aliases:
+            lut[a] = e.entity_id
+    return lut
+
+
+@dataclass
+class PagesFixture:
+    pages: pa.Table
+    entities: list[EntityRecord]
+    oracle_mentions: pa.Table  # (url, entity_id, surface, start, end, anchored)
+    oracle_triples: set[tuple[str, str, str]]
+    oracle_triple_evidence: dict[tuple[str, str, str], str]  # min-url witness
+
+
+def generate_pages(n_pages: int, seed: int = SEED) -> PagesFixture:
+    rng = random.Random(seed)
+    entities = make_entities()
+    # Zipf-ish popularity over entities and domains.
+    ent_weights = [1.0 / (i + 1) for i in range(N_ENTITIES)]
+    dom_weights = [1.0 / (j + 1) for j in range(N_DOMAINS)]
+    pred_list = list(PRED_PHRASES.items())
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    m_url, m_eid, m_surface, m_start, m_end, m_anch = [], [], [], [], [], []
+    triples: set[tuple[str, str, str]] = set()
+    evidence: dict[tuple[str, str, str], str] = {}
+
+    for i in range(n_pages):
+        dom = rng.choices(range(N_DOMAINS), weights=dom_weights)[0]
+        url = f"https://d{dom:02d}.example.com/p{i:06d}"
+        lang = "en" if rng.random() < 0.95 else rng.choice(["de", "fr"])
+        sentences: list[str] = []
+        page_mentions: list[tuple[str, str, bool]] = []  # (surface, eid, anchored)
+        page_triples: list[tuple[str, str, str]] = []
+        last_subject: str | None = None
+
+        n_sent = rng.randint(2, 6)
+        for _s in range(n_sent):
+            r = rng.random()
+            if r < 0.25:
+                sentences.append(rng.choice(FILLERS))
+                continue
+            if r < 0.45 and last_subject is not None:
+                # pronoun sentence: subject = nearest preceding anchored subject
+                phrase, pred = rng.choice(pred_list)
+                eb = entities[rng.choices(range(N_ENTITIES), weights=ent_weights)[0]]
+                sb = rng.choice(eb.aliases)
+                sentences.append(f"It {phrase} {sb}.")
+                page_mentions.append((sb, eb.entity_id, False))
+                page_triples.append((last_subject, pred, eb.entity_id))
+                continue
+            # anchored sentence
+            phrase, pred = rng.choice(pred_list)
+            ea = entities[rng.choices(range(N_ENTITIES), weights=ent_weights)[0]]
+            eb = entities[rng.choices(range(N_ENTITIES), weights=ent_weights)[0]]
+            sa, sb = rng.choice(ea.aliases), rng.choice(eb.aliases)
+            sentences.append(f"{sa} {phrase} {sb}.")
+            page_mentions.append((sa, ea.entity_id, True))
+            page_mentions.append((sb, eb.entity_id, False))
+            page_triples.append((ea.entity_id, pred, eb.entity_id))
+            last_subject = ea.entity_id
+
+        text = " ".join(sentences)
+        # html wraps each sentence in <p>; some rows add boilerplate that
+        # extraction must drop (FIXTURES.md F1).
+        parts = ["<html><body>"]
+        if rng.random() < 0.3:
+            parts.append("<nav>home | about | contact</nav>")
+        parts.extend(f"<p>{s}</p>" for s in sentences)
+        if rng.random() < 0.3:
+            parts.append("<script>var x = 1;</script>")
+        parts.append("</body></html>")
+        html = "".join(parts).encode("utf-8")
+
+        urls.append(url)
+        tss.append(EPOCH_US + i * 1_000_000)
+        htmls.append(html)
+        texts.append(text)
+        langs.append(lang)
+
+        # oracle mention spans: locate each planted surface occurrence in order
+        cursor = 0
+        for surface, eid, anch in page_mentions:
+            start = text.index(surface, cursor)
+            m_url.append(url)
+            m_eid.append(eid)
+            m_surface.append(surface)
+            m_start.append(start)
+            m_end.append(start + len(surface))
+            m_anch.append(anch)
+            cursor = start + len(surface)
+        for t in page_triples:
+            triples.add(t)
+            if t not in evidence or url < evidence[t]:
+                evidence[t] = url
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+    mentions = pa.table(
+        {
+            "url": pa.array(m_url, type=pa.string()),
+            "entity_id": pa.array(m_eid, type=pa.string()),
+            "surface": pa.array(m_surface, type=pa.string()),
+            "start": pa.array(m_start, type=pa.int32()),
+            "end": pa.array(m_end, type=pa.int32()),
+            "anchored": pa.array(m_anch, type=pa.bool_()),
+        }
+    )
+    return PagesFixture(pages, entities, mentions, triples, evidence)
+
+
+def write_pages_fixture(
+    fixture: PagesFixture, out_dir: str, num_files: int = 8
+) -> list[str]:
+    """Write the pages table as >=num_files Parquet files (partition layout
+    for checkpoint/resume and scaling tests, FIXTURES.md F1)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = fixture.pages.num_rows
+    per = max(1, (n + num_files - 1) // num_files)
+    paths = []
+    for k in range(0, n, per):
+        path = os.path.join(out_dir, f"part-{k // per:05d}.parquet")
+        pq.write_table(fixture.pages.slice(k, per), path)
+        paths.append(path)
+    return paths

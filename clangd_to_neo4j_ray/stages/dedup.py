@@ -1,0 +1,359 @@
+"""Deduplication operator family over the ``documents`` table.
+
+The large-scale-training-pipeline extension of the reference's dedup
+semantics (D1-D5, SURVEY §2.6): exact dedup generalizes symbol-ID dedup
+(hash-partition + per-group deterministic first); MinHash-LSH / SimHash /
+n-gram-Jaccard are the near-dup generalizations of MERGE idempotency.
+
+Hash-function parity: every hash is md5-derived so each operator has an
+exact DuckDB oracle (see ORACLE_SQL) — minhashes are 4-hex-char slices of
+one md5 per shingle, simhash uses the first 60 bits of md5 per token.
+
+Scale notes:
+- signatures are computed fully inside ``map_batches`` (per-doc state only;
+  no shuffle);
+- the only shuffles are the final groupbys on (hash) / (band, sig) /
+  blocking key — all preceded by per-batch partial aggregation;
+- candidate pair generation happens per bucket in ``map_groups`` (bounded
+  groups), never as a global cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+N_MINHASH = 8  # 4-hex-char minhashes per doc (slices of one md5)
+N_BANDS = 4  # LSH bands of r=2 minhashes each
+SHINGLE_K = 3  # tokens per shingle for minhash
+SIMHASH_BITS = 60  # fits signed int64; = 15 hex chars of md5
+
+
+def _read_docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (D1 analog: hash-partition + per-group deterministic first)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact duplicate groups by content hash.
+
+    Output: (text_hash, rep_doc_id, n_dups) — representative = min doc_id
+    (order-independent deterministic first; SURVEY §7.5 vs the reference's
+    last-wins D1)."""
+    ds = _read_docs(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        t = pa.table(
+            {
+                "text_hash": pa.array(hashes, type=pa.string()),
+                "doc_id": batch["doc_id"],
+            }
+        )
+        return (
+            t.group_by("text_hash")
+            .aggregate([("doc_id", "min"), ([], "count_all")])
+            .rename_columns(["text_hash", "rep_doc_id", "n_dups"])
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            Min(on="rep_doc_id", alias_name="rep_doc_id"),
+            Sum(on="n_dups", alias_name="n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (shingle -> minhash -> band -> bucket groupby)
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _minhash_rows(batch: pa.Table) -> pa.Table:
+    """Per doc: N_BANDS rows (doc_id, band, sig).
+
+    minhash_i = min over shingles of md5(shingle)[4i:4i+4]; band signature =
+    concat of its r minhashes.  One md5 per shingle total — the 8 hash
+    functions are disjoint hex slices, reproducible in SQL as
+    ``substr(md5(shingle), 4*i+1, 4)``."""
+    doc_ids, bands, sigs = [], [], []
+    r = N_MINHASH // N_BANDS
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        sh = _doc_shingles(text)
+        if not sh:
+            continue
+        digests = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in sh]
+        mins = [min(d[4 * i : 4 * i + 4] for d in digests) for i in range(N_MINHASH)]
+        for b in range(N_BANDS):
+            doc_ids.append(doc_id)
+            bands.append(b)
+            sigs.append(",".join(mins[b * r : (b + 1) * r]))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "band": pa.array(bands, type=pa.int64()),
+            "sig": pa.array(sigs, type=pa.string()),
+        }
+    )
+
+
+def minhash_signatures(sf_dir: str) -> ray.data.Dataset:
+    """LSH band signatures per document. Output: (doc_id, band, sig)."""
+    return _read_docs(sf_dir).map_batches(_minhash_rows, batch_format="pyarrow")
+
+
+def dedup_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Candidate near-dup pairs: docs sharing any (band, sig) bucket.
+
+    Output: (a_doc, b_doc) distinct, a_doc < b_doc.  The bucket groupby is
+    the LSH shuffle; pair expansion happens per bucket in map_groups."""
+    sigs = minhash_signatures(sf_dir)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a_doc": a, "b_doc": b})
+
+    cand = sigs.groupby(["band", "sig"]).map_groups(pairs, batch_format="pandas")
+    # distinct across buckets (two-phase)
+    return (
+        cand.map_batches(
+            lambda t: t.group_by(["a_doc", "b_doc"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["a_doc", "b_doc", "n"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["a_doc", "b_doc"])
+        .aggregate(Sum(on="n", alias_name="_n"))
+        .select_columns(["a_doc", "b_doc"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(sf_dir: str) -> ray.data.Dataset:
+    """60-bit SimHash per document. Output: (doc_id, simhash:int64).
+
+    Token hash = first 15 hex chars of md5 (60 bits); bit b of the
+    fingerprint is 1 iff the count-weighted +/-1 sum over tokens' bit b is
+    positive.  Fully vectorized with numpy inside map_batches."""
+    ds = _read_docs(sf_dir)
+    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out_ids, out_fp = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks, counts = np.unique(text.split(" "), return_counts=True)
+            hs = np.array(
+                [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks],
+                dtype=np.int64,
+            )
+            signs = (((hs[:, None] >> bits[None, :]) & 1) * 2 - 1)  # (T, 60)
+            sums = (signs * counts[:, None]).sum(axis=0)
+            fp_val = int(((sums > 0).astype(np.int64) << bits).sum())
+            out_ids.append(doc_id)
+            out_fp.append(fp_val)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "simhash": pa.array(out_fp, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (blocked pairwise, integer-exact)
+# ---------------------------------------------------------------------------
+
+JACCARD_NUM = 1  # threshold = JACCARD_NUM / JACCARD_DEN (integer-exact filter)
+JACCARD_DEN = 20
+
+
+def dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Bigram-shingle Jaccard pairs within the same ``source`` block.
+
+    Output: (a_doc, b_doc, n_intersect, n_union) for pairs with
+    jaccard >= 1/20, kept integer-exact (20*n_intersect >= n_union) so the
+    oracle comparison has no float rounding edge.  Blocking key = source
+    (the reference's group-by-file isolation analog, K2)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(zip(g["doc_id"], g["text"]))
+        shingle_sets = [
+            (d, _doc_shingles(t, 2)) for d, t in docs
+        ]
+        a, b, ni, nu = [], [], [], []
+        for i in range(len(shingle_sets)):
+            di, si = shingle_sets[i]
+            for j in range(i + 1, len(shingle_sets)):
+                dj, sj = shingle_sets[j]
+                inter = len(si & sj)
+                union = len(si | sj)
+                if union and JACCARD_DEN * inter >= JACCARD_NUM * union:
+                    a.append(di)
+                    b.append(dj)
+                    ni.append(inter)
+                    nu.append(union)
+        return pd.DataFrame(
+            {
+                "a_doc": pd.Series(a, dtype="int64"),
+                "b_doc": pd.Series(b, dtype="int64"),
+                "n_intersect": pd.Series(ni, dtype="int64"),
+                "n_union": pd.Series(nu, dtype="int64"),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir)
+        .groupby("source")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (blocked by label)
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.95
+
+
+def dedup_embedding_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup pairs by embedding cosine >= 0.95 within the same ``label``
+    block. Output: (a_id, b_id). Cosine computed in float64 (matches the
+    DuckDB oracle's DOUBLE[] cast)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= COSINE_DUP_THRESHOLD
+        return pd.DataFrame(
+            {
+                "a_id": pd.Series(ids[iu[0][mask]], dtype="int64"),
+                "b_id": pd.Series(ids[iu[1][mask]], dtype="int64"),
+            }
+        )
+
+    return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SQL_TOK = (
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+    "generate_subscripts(string_split(text, ' '), 1) AS i FROM documents)"
+)
+_SQL_SHINGLES3 = """
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+)"""
+_SQL_MINSIG = f"""
+mh AS (
+  SELECT doc_id, t.i, min(substr(md5(s), 4 * t.i + 1, 4)) AS mh
+  FROM sh, range({N_MINHASH}) t(i) GROUP BY doc_id, t.i
+),
+sig AS (
+  SELECT doc_id, i // {N_MINHASH // N_BANDS} AS band,
+         string_agg(mh, ',' ORDER BY i) AS sig
+  FROM mh GROUP BY doc_id, i // {N_MINHASH // N_BANDS}
+)"""
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+    "minhash_signatures": f"""
+WITH {_SQL_TOK}, {_SQL_SHINGLES3}, {_SQL_MINSIG}
+SELECT doc_id, CAST(band AS BIGINT) AS band, sig FROM sig
+""",
+    "dedup_minhash_pairs": f"""
+WITH {_SQL_TOK}, {_SQL_SHINGLES3}, {_SQL_MINSIG}
+SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+FROM sig a JOIN sig b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+    "dedup_simhash": f"""
+WITH {_SQL_TOK},
+tc AS (SELECT doc_id, tok, count(*) AS w FROM tok GROUP BY doc_id, tok),
+th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h, w
+       FROM tc),
+bits AS (
+  SELECT doc_id, b.b,
+         CASE WHEN sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN w ELSE -w END) > 0
+              THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bit
+  FROM th, range({SIMHASH_BITS}) b(b) GROUP BY doc_id, b.b
+)
+SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SQL_TOK},
+sh AS (
+  SELECT DISTINCT d.source, t.doc_id, t.tok || ' ' || u.tok AS s
+  FROM tok t
+  JOIN tok u ON t.doc_id = u.doc_id AND u.i = t.i + 1
+  JOIN documents d ON d.doc_id = t.doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS ni
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_doc, i.b_doc, CAST(i.ni AS BIGINT) AS n_intersect,
+       CAST(ca.n + cb.n - i.ni AS BIGINT) AS n_union
+FROM inter i
+JOIN cnt ca ON ca.doc_id = i.a_doc
+JOIN cnt cb ON cb.doc_id = i.b_doc
+WHERE {JACCARD_DEN} * i.ni >= {JACCARD_NUM} * (ca.n + cb.n - i.ni)
+""",
+    "dedup_embedding_pairs": f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {COSINE_DUP_THRESHOLD}
+""",
+}
