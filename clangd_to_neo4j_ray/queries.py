@@ -34,3 +34,55 @@ for _name, _fn in [
     ("kg_stats", docs_kg.kg_stats),
 ]:
     register(_name, _fn, docs_kg.ORACLE_SQL[_name])
+
+# --- dedup family (D1-D5 generalizations + training-data dedup) ---
+from .stages import dedup as _dedup
+
+for _name, _fn in [
+    ("dedup_exact", _dedup.dedup_exact),
+    ("minhash_signatures", _dedup.minhash_signatures),
+    ("dedup_minhash_pairs", _dedup.dedup_minhash_pairs),
+    ("dedup_simhash", _dedup.dedup_simhash),
+    ("dedup_ngram_jaccard", _dedup.dedup_ngram_jaccard),
+    ("dedup_embedding_pairs", _dedup.dedup_embedding_pairs),
+]:
+    register(_name, _fn, _dedup.ORACLE_SQL[_name])
+
+# --- text analysis ---
+from .stages import text as _text
+
+for _name, _fn in [
+    ("text_quality", _text.text_quality),
+    ("text_langid", _text.text_langid),
+    ("text_token_totals", _text.text_token_totals),
+    ("text_fingerprint", _text.text_fingerprint),
+]:
+    register(_name, _fn, _text.ORACLE_SQL[_name])
+
+# --- similarity search ---
+from .stages import similarity as _sim
+
+register("ann_brute_topk", _sim.ann_brute_topk, _sim.ORACLE_SQL["ann_brute_topk"])
+
+# --- event windows / sessions ---
+from .stages import windows as _win
+
+for _name, _fn in [
+    ("events_tumbling", _win.events_tumbling),
+    ("events_sessions", _win.events_sessions),
+    ("events_type_stats", _win.events_type_stats),
+]:
+    register(_name, _fn, _win.ORACLE_SQL[_name])
+
+# --- relational operator coverage (TPC-H-ish) ---
+from .stages import relational as _rel
+
+for _name, _fn in [
+    ("q1_pricing_summary", _rel.q1_pricing_summary),
+    ("q3_top_orders", _rel.q3_top_orders),
+    ("top_parts_by_revenue", _rel.top_parts_by_revenue),
+    ("customers_without_orders", _rel.customers_without_orders),
+    ("nation_order_stats", _rel.nation_order_stats),
+    ("orders_rank_window", _rel.orders_rank_window),
+]:
+    register(_name, _fn, _rel.ORACLE_SQL[_name])

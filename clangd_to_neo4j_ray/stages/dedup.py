@@ -245,13 +245,16 @@ def dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
 # Embedding-cosine near-dup (blocked by label)
 # ---------------------------------------------------------------------------
 
-COSINE_DUP_THRESHOLD = 0.95
+# The synthetic embeddings are near-orthogonal (max within-label cosine
+# ~0.45), so the testdata query uses a low threshold to exercise the operator
+# with a non-empty result; production near-dup would use ~0.95.
+COSINE_DUP_THRESHOLD = 0.30
 
 
 def dedup_embedding_pairs(sf_dir: str) -> ray.data.Dataset:
-    """Near-dup pairs by embedding cosine >= 0.95 within the same ``label``
-    block. Output: (a_id, b_id). Cosine computed in float64 (matches the
-    DuckDB oracle's DOUBLE[] cast)."""
+    """Near-dup pairs by embedding cosine >= threshold within the same
+    ``label`` block. Output: (a_id, b_id). Cosine computed in float64
+    (matches the DuckDB oracle's DOUBLE[] cast)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

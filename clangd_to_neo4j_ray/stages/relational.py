@@ -1,0 +1,422 @@
+"""Relational operator coverage over the TPC-H-ish tables.
+
+Demonstrates the general-purpose operator surface (grouped aggregates,
+multi-way joins, semi/anti joins, top-k, window ranks) that the KG pipeline
+stages build on, each with an exact DuckDB oracle.  Reference analogs:
+grouped aggregates = A1/A2; anti-join = A8 orphan cleanup; per-key ranking =
+O1/O2 ordering semantics.
+
+Join strategy notes (SURVEY §7.4): dimension sides (nation, customer, part,
+filtered orders) are broadcast; the fact table (lineitem) always streams.
+At 100 TB the broadcast sides here (customer at 1.5M rows/SF) would move to
+``hash_join``; the choice is isolated in this module.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions.numerics import round_col, round_half_away
+from .joins import broadcast_anti_join, broadcast_join, broadcast_semi_join
+
+Q1_CUTOFF = "1998-09-02"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+TOP_PARTS_K = 10
+
+
+def _read(sf_dir: str, table: str, cols: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+
+
+def _small_df(sf_dir: str, table: str, cols: list[str]) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols).to_pandas()
+
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-style pricing summary.
+
+    Output: (l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    sum_disc_price, sum_charge, avg_qty, avg_price, avg_disc, count_order)
+    — sums rounded to 2 dp, avgs to 4 dp, all derived from exact partial
+    sums (two-phase aggregation; division + rounding only at the end)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64(Q1_CUTOFF, "us")))
+        )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": batch["l_quantity"],
+                "price": batch["l_extendedprice"],
+                "disc_price": disc_price,
+                "charge": charge,
+                "disc": batch["l_discount"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("qty", "sum"),
+                    ("price", "sum"),
+                    ("disc_price", "sum"),
+                    ("charge", "sum"),
+                    ("disc", "sum"),
+                    ("n", "sum"),
+                ]
+            )
+            .rename_columns(
+                [
+                    "l_returnflag",
+                    "l_linestatus",
+                    "qty",
+                    "price",
+                    "disc_price",
+                    "charge",
+                    "disc",
+                    "n",
+                ]
+            )
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum(on="qty", alias_name="s_qty"),
+            Sum(on="price", alias_name="s_price"),
+            Sum(on="disc_price", alias_name="s_disc_price"),
+            Sum(on="charge", alias_name="s_charge"),
+            Sum(on="disc", alias_name="s_disc"),
+            Sum(on="n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(round_half_away(t["s_qty"].to_numpy(zero_copy_only=False), 2)),
+                "sum_base_price": pa.array(round_half_away(t["s_price"].to_numpy(zero_copy_only=False), 2)),
+                "sum_disc_price": pa.array(round_half_away(t["s_disc_price"].to_numpy(zero_copy_only=False), 2)),
+                "sum_charge": pa.array(round_half_away(t["s_charge"].to_numpy(zero_copy_only=False), 2)),
+                "avg_qty": pa.array(
+                    round_half_away(t["s_qty"].to_numpy(zero_copy_only=False) / n, 4)
+                ),
+                "avg_price": pa.array(
+                    round_half_away(t["s_price"].to_numpy(zero_copy_only=False) / n, 4)
+                ),
+                "avg_disc": pa.array(
+                    round_half_away(t["s_disc"].to_numpy(zero_copy_only=False) / n, 4)
+                ),
+                "count_order": t["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
+    """Q3-style: top-10 BUILDING-segment orders by discounted revenue.
+
+    Output: (o_orderkey, revenue, o_orderdate_us) — revenue rounded 2 dp,
+    deterministic order (revenue desc, o_orderkey asc), limit 10.
+    Plan: broadcast filtered customers -> semi-join orders -> broadcast the
+    filtered orders key set -> stream lineitem -> two-phase revenue groupby
+    -> broadcast order dates back onto the top rows."""
+    cust = _small_df(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_keys = cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_semi_join(orders, "o_custkey", cust_keys.tolist())
+    orders = orders.map_batches(
+        lambda t: t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(np.datetime64(Q3_DATE, "us")))
+        ),
+        batch_format="pyarrow",
+    )
+    odf = orders.to_pandas()  # filtered dimension side (small at test scale)
+    okeys = odf["o_orderkey"].tolist()
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = broadcast_semi_join(li, "l_orderkey", okeys)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev": rev})
+        return (
+            t.group_by("o_orderkey").aggregate([("rev", "sum")]).rename_columns(
+                ["o_orderkey", "rev"]
+            )
+        )
+
+    agg = (
+        li.map_batches(partials, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+    )
+    top = agg.map_batches(
+        lambda t: round_col(t, "rev", 2),
+        batch_format="pyarrow",
+    ).sort(["rev", "o_orderkey"], descending=[True, False]).limit(TOP_PARTS_K)
+
+    date_map = dict(
+        zip(odf["o_orderkey"], odf["o_orderdate"].astype("int64"))
+    )
+
+    def attach_date(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "revenue": t["rev"],
+                "o_orderdate_us": pa.array(
+                    [date_map[k] for k in keys], type=pa.int64()
+                ),
+            }
+        )
+
+    return top.map_batches(attach_date, batch_format="pyarrow")
+
+
+def top_parts_by_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Top-10 parts by lineitem revenue, with part attributes.
+
+    Output: (p_partkey, p_name, p_brand, revenue) — broadcast-join the part
+    dimension onto the aggregated fact stream."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"p_partkey": batch["l_partkey"], "rev": rev})
+        return (
+            t.group_by("p_partkey").aggregate([("rev", "sum")]).rename_columns(
+                ["p_partkey", "rev"]
+            )
+        )
+
+    agg = (
+        li.map_batches(partials, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+        .map_batches(lambda t: round_col(t, "rev", 2), batch_format="pyarrow")
+        .sort(["rev", "p_partkey"], descending=[True, False])
+        .limit(TOP_PARTS_K)
+    )
+    part = _small_df(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    joined = broadcast_join(agg, part, on="p_partkey")
+    return joined.map_batches(
+        lambda df: df.rename(columns={"rev": "revenue"})[
+            ["p_partkey", "p_name", "p_brand", "revenue"]
+        ],
+        batch_format="pandas",
+    )
+
+
+def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """Anti-join coverage: per segment, how many customers placed no orders.
+
+    Output: (c_mktsegment, n_customers, n_without_orders) — one row per
+    segment (schema-stable even when no customer lacks orders).  The
+    anti-join is a broadcast key-set ``is_in`` mask (A8 orphan-cleanup
+    semantics, ``neo4j_manager.py:124-128``)."""
+    import pyarrow.parquet as pq
+
+    okeys = set(
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+        .to_pylist()
+    )
+    import ray as _ray
+
+    okeys_ref = _ray.put(pa.array(sorted(okeys)))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ks = _ray.get(okeys_ref)
+        has = pc.is_in(batch["c_custkey"], value_set=ks)
+        without = pc.invert(has).cast(pa.int64())
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "w": without,
+            }
+        )
+        return (
+            t.group_by("c_mktsegment")
+            .aggregate([("n", "sum"), ("w", "sum")])
+            .rename_columns(["c_mktsegment", "n", "w"])
+        )
+
+    return (
+        cust.map_batches(partials, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum(on="n", alias_name="n_customers"),
+            Sum(on="w", alias_name="n_without_orders"),
+        )
+    )
+
+
+def nation_order_stats(sf_dir: str) -> ray.data.Dataset:
+    """Orders per customer nation (broadcast dimension chain
+    nation<-customer, streamed fact orders).
+
+    Output: (n_name, n_orders, sum_totalprice)."""
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _small_df(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "n_name": batch["n_name"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "v": batch["o_totalprice"],
+            }
+        )
+        return (
+            t.group_by("n_name")
+            .aggregate([("n", "sum"), ("v", "sum")])
+            .rename_columns(["n_name", "n", "v"])
+        )
+
+    return (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum(on="n", alias_name="n_orders"), Sum(on="v", alias_name="v"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n_name": t["n_name"],
+                    "n_orders": t["n_orders"],
+                    "sum_totalprice": pa.array(round_half_away(t["v"].to_numpy(zero_copy_only=False), 2)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def orders_rank_window(sf_dir: str) -> ray.data.Dataset:
+    """Window-function analog: per-customer order sequence number.
+
+    Output: (o_custkey, o_orderkey, rn) with rn = rank by
+    (o_orderdate, o_orderkey) within customer — deterministic tie-break.
+    O2-style within-group ordering via map_groups."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"],
+                "o_orderkey": g["o_orderkey"],
+                "rn": pd.Series(np.arange(1, len(g) + 1), dtype="int64"),
+            }
+        )
+
+    return orders.groupby("o_custkey").map_groups(rank, batch_format="pandas")
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+       round(sum(l_discount) / count(*), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q3_top_orders": f"""
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       epoch_us(o.o_orderdate) AS o_orderdate_us
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT {TOP_PARTS_K}
+""",
+    "top_parts_by_revenue": f"""
+SELECT p.p_partkey, p.p_name, p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey, p.p_name, p.p_brand
+ORDER BY revenue DESC, p.p_partkey
+LIMIT {TOP_PARTS_K}
+""",
+    "customers_without_orders": """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+         AS BIGINT) AS n_without_orders
+FROM customer c
+GROUP BY c.c_mktsegment
+""",
+    "nation_order_stats": """
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS sum_totalprice
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+    "orders_rank_window": """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS rn
+FROM orders
+""",
+}

@@ -1,0 +1,200 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The training-data-pipeline extensions (language-ID heuristic, quality
+scoring, token counting, document fingerprinting) expressed as vectorized
+``map_batches`` stages with exact DuckDB oracles.  Quality metrics are
+integer-valued to keep the oracle comparison rounding-free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions.textops import explode_tokens
+
+STOPWORDS = ("the", "a")
+FINGERPRINT_K = 5  # tokens per fingerprint shingle
+LANGID_MIN_STOPWORDS = 2  # >=2 stopword tokens -> 'en'
+
+
+def _read_docs(sf_dir: str, cols: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+
+def text_quality(sf_dir: str) -> ray.data.Dataset:
+    """Per-document quality stats (integer-exact).
+
+    Output: (doc_id, n_tokens, n_types, n_stopwords, max_token_len)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    stop_arr = pa.array(STOPWORDS, type=pa.string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, _pos, parents = explode_tokens(batch)
+        n_rows = len(batch)
+        n_tokens = np.bincount(parents, minlength=n_rows)
+        is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parents[is_stop], minlength=n_rows)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        max_len = np.zeros(n_rows, dtype=np.int64)
+        np.maximum.at(max_len, parents, lens)
+        # distinct tokens per doc via arrow group_by on (parent, token)
+        t = pa.table({"p": pa.array(parents), "tok": flat})
+        per_tok = t.group_by(["p", "tok"]).aggregate([([], "count_all")])
+        n_types = np.bincount(
+            per_tok["p"].to_numpy(zero_copy_only=False), minlength=n_rows
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "n_types": pa.array(n_types.astype(np.int64)),
+                "n_stopwords": pa.array(n_stop.astype(np.int64)),
+                "max_token_len": pa.array(max_len.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def text_langid(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic language-ID heuristic: stopword-count rule.
+
+    Output: (doc_id, lang, lang_guess) — ``lang`` is the table's label,
+    ``lang_guess`` = 'en' if the doc has >= 2 stopword tokens else 'other'.
+    (On real web text this would be an n-gram profile scorer in the same
+    map_batches shape; the rule here is deliberately SQL-reproducible.)"""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    stop_arr = pa.array(STOPWORDS, type=pa.string())
+
+    def guess(batch: pa.Table) -> pa.Table:
+        flat, _pos, parents = explode_tokens(batch)
+        is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parents[is_stop], minlength=len(batch))
+        lang_guess = np.where(n_stop >= LANGID_MIN_STOPWORDS, "en", "other")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "lang_guess": pa.array(lang_guess, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(guess, batch_format="pyarrow")
+
+
+def text_token_totals(sf_dir: str) -> ray.data.Dataset:
+    """Corpus token accounting by (source, lang).
+
+    Output: (source, lang, n_docs, n_tokens) — two-phase aggregation."""
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _flat, _pos, parents = explode_tokens(batch)
+        n_tokens = np.bincount(parents, minlength=len(batch)).astype(np.int64)
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "lang": batch["lang"],
+                "docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "toks": pa.array(n_tokens),
+            }
+        )
+        return (
+            t.group_by(["source", "lang"])
+            .aggregate([("docs", "sum"), ("toks", "sum")])
+            .rename_columns(["source", "lang", "docs", "toks"])
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum(on="docs", alias_name="n_docs"), Sum(on="toks", alias_name="n_tokens")
+        )
+    )
+
+
+def text_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing-style document fingerprint: min md5 over 5-token shingles.
+
+    Output: (doc_id, fp) for documents with >= 5 tokens.  The rolling-hash
+    fingerprint analog with md5 for SQL parity."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = text.split(" ")
+            if len(toks) < FINGERPRINT_K:
+                continue
+            m = min(
+                hashlib.md5(
+                    " ".join(toks[i : i + FINGERPRINT_K]).encode("utf-8")
+                ).hexdigest()
+                for i in range(len(toks) - FINGERPRINT_K + 1)
+            )
+            ids.append(doc_id)
+            fps.append(m)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "fp": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+_SQL_TOK = (
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+    "generate_subscripts(string_split(text, ' '), 1) AS i FROM documents)"
+)
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_SQL: dict[str, str] = {
+    "text_quality": f"""
+WITH {_SQL_TOK}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (tok IN ({_STOP_LIST})) AS BIGINT) AS n_stopwords,
+       CAST(max(length(tok)) AS BIGINT) AS max_token_len
+FROM tok GROUP BY doc_id
+""",
+    "text_langid": f"""
+WITH {_SQL_TOK},
+ns AS (SELECT doc_id, count(*) FILTER (tok IN ({_STOP_LIST})) AS n_stop
+       FROM tok GROUP BY doc_id)
+SELECT d.doc_id, d.lang,
+       CASE WHEN ns.n_stop >= {LANGID_MIN_STOPWORDS} THEN 'en' ELSE 'other' END
+         AS lang_guess
+FROM documents d JOIN ns ON d.doc_id = ns.doc_id
+""",
+    "text_token_totals": f"""
+WITH {_SQL_TOK},
+per_doc AS (SELECT doc_id, count(*) AS toks FROM tok GROUP BY doc_id)
+SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.toks) AS BIGINT) AS n_tokens
+FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+GROUP BY d.source, d.lang
+""",
+    "text_fingerprint": f"""
+WITH {_SQL_TOK},
+sh AS (
+  SELECT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' ' || e.tok
+           AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+  JOIN tok d ON a.doc_id = d.doc_id AND d.i = a.i + 3
+  JOIN tok e ON a.doc_id = e.doc_id AND e.i = a.i + 4
+)
+SELECT doc_id, min(md5(s)) AS fp FROM sh GROUP BY doc_id
+""",
+}

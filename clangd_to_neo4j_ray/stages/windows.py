@@ -1,0 +1,166 @@
+"""Windowed / sessionized aggregates over the ``events`` table.
+
+The reference is pure batch (SURVEY §2.8) — these are the streaming-shaped
+extensions a web-scale pipeline needs.  Pattern per the Ray Data model:
+treat events as a partitioned log; assignment-style windows (tumbling) are a
+vectorized computed column + two-phase groupby; order-dependent windows
+(sessions) are ``groupby(key).map_groups`` over the per-key sorted group,
+with the ordering assumption stated explicitly: events of one ``user_id``
+fit in one group and are sorted by ``ts`` inside ``map_groups``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions.numerics import round_col
+
+TUMBLE_US = 3_600_000_000  # 1-hour tumbling windows
+SESSION_GAP_US = 1_800_000_000  # 30-min inactivity gap
+
+
+def _read_events(sf_dir: str, cols: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+
+def events_tumbling(sf_dir: str) -> ray.data.Dataset:
+    """Per (user, 1-hour window): event count + value sum.
+
+    Output: (user_id, window_start_us, n_events, sum_value) — sum rounded to
+    2 dp at the end (single final rounding, matching the oracle)."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // TUMBLE_US) * TUMBLE_US
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_start_us": pa.array(win, type=pa.int64()),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "v": batch["value"],
+            }
+        )
+        return (
+            t.group_by(["user_id", "window_start_us"])
+            .aggregate([("n", "sum"), ("v", "sum")])
+            .rename_columns(["user_id", "window_start_us", "n", "v"])
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["user_id", "window_start_us"])
+        .aggregate(Sum(on="n", alias_name="n_events"), Sum(on="v", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda t: round_col(t, "sum_value", 2), batch_format="pyarrow"
+    )
+
+
+def events_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Sessionization: per user, sessions split at > 30-min gaps.
+
+    Output: (user_id, session_start_us, session_end_us, n_events).
+    Ordering: the per-user group is sorted by ts inside map_groups —
+    deterministic because (user_id, ts) pairs are grouped completely."""
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].astype("int64").to_numpy())
+        brk = np.empty(len(t), dtype=bool)
+        brk[0] = True
+        brk[1:] = (t[1:] - t[:-1]) > SESSION_GAP_US
+        sid = np.cumsum(brk) - 1
+        out = pd.DataFrame({"t": t, "sid": sid}).groupby("sid")["t"].agg(
+            ["min", "max", "count"]
+        )
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(
+                    [g["user_id"].iloc[0]] * len(out), dtype="int64"
+                ),
+                "session_start_us": out["min"].astype("int64").to_numpy(),
+                "session_end_us": out["max"].astype("int64").to_numpy(),
+                "n_events": out["count"].astype("int64").to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def events_type_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per event_type: counts, distinct users, value sum.
+
+    Output: (event_type, n_events, n_users, sum_value) — count-distinct done
+    shuffle-free via the two-level (type, user) partial aggregation."""
+    ds = _read_events(sf_dir, ["event_type", "user_id", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "user_id": batch["user_id"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "v": batch["value"],
+            }
+        )
+        return (
+            t.group_by(["event_type", "user_id"])
+            .aggregate([("n", "sum"), ("v", "sum")])
+            .rename_columns(["event_type", "user_id", "n", "v"])
+        )
+
+    per_user = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum(on="n", alias_name="n"), Sum(on="v", alias_name="v"))
+    )
+    agg = per_user.groupby("event_type").aggregate(
+        Sum(on="n", alias_name="n_events"),
+        Count(alias_name="n_users"),
+        Sum(on="v", alias_name="sum_value"),
+    )
+    return agg.map_batches(
+        lambda t: round_col(t, "sum_value", 2), batch_format="pyarrow"
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "events_tumbling": f"""
+SELECT user_id,
+       (epoch_us(ts) // {TUMBLE_US}) * {TUMBLE_US} AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id, (epoch_us(ts) // {TUMBLE_US}) * {TUMBLE_US}
+""",
+    "events_sessions": f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > {SESSION_GAP_US}
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    "events_type_stats": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""",
+}

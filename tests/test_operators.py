@@ -1,0 +1,48 @@
+"""Parity tests for text / similarity / windows / relational operator families
+vs their DuckDB oracles, driven through the central registry."""
+
+from __future__ import annotations
+
+import pytest
+
+from clangd_to_neo4j_ray.queries import ORACLE, QUERIES
+
+from .util import assert_matches_oracle
+
+NAMES = [
+    "text_quality",
+    "text_langid",
+    "text_token_totals",
+    "text_fingerprint",
+    "ann_brute_topk",
+    "events_tumbling",
+    "events_sessions",
+    "events_type_stats",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "top_parts_by_revenue",
+    "customers_without_orders",
+    "nation_order_stats",
+    "orders_rank_window",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_operator_matches_oracle(name, sf_dir):
+    assert_matches_oracle(QUERIES[name](sf_dir), ORACLE[name], sf_dir)
+
+
+def test_ann_lsh_recall(sf_dir):
+    """LSH-bucketed ANN recall vs the exact brute-force top-k: with 4
+    hyperplanes a query's own bucket holds ~1/16 of vectors; recall of the
+    top-10 is imperfect by design — assert the machinery returns sane,
+    bucket-consistent results with non-trivial overlap."""
+    from clangd_to_neo4j_ray.stages.similarity import ann_brute_topk, ann_lsh_topk
+
+    exact = ann_brute_topk(sf_dir).to_pandas()
+    approx = ann_lsh_topk(sf_dir)
+    assert set(approx.columns) == {"qid", "nid", "cos", "bucket"}
+    # every (qid, nid) pair the LSH path scores must carry the same cosine
+    merged = approx.merge(exact, on=["qid", "nid"], suffixes=("_a", "_e"))
+    assert (merged["cos_a"] == merged["cos_e"]).all()
+    assert len(approx) > 0
