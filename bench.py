@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Headline: the flagship pages->KG build (extract -> link -> canonicalize ->
+materialize consume) over a deterministic synthetic F1 pages corpus (cached
+under /tmp, seeded — FIXTURES.md F1), sized by BENCH_PAGES (default 40000).
+Also times every registered query over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and 32 by
+default) on the same input and reports both throughputs + scaling
+efficiency (the sandbox stand-in for the N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "40000"))
+PAGES_CACHE = f"/tmp/kg_bench_pages_{BENCH_PAGES}"
+
+
+def ensure_pages_corpus() -> str:
+    """Generate (once) the deterministic pages corpus used by the headline.
+
+    Requires an initialized Ray session (sharded parallel generation)."""
+    import glob
+
+    if glob.glob(f"{PAGES_CACHE}/*.parquet"):
+        return PAGES_CACHE
+    from clangd_to_neo4j_ray.sources.fixtures import generate_pages_sharded
+
+    generate_pages_sharded(BENCH_PAGES, PAGES_CACHE, num_shards=32)
+    return PAGES_CACHE
+
+
+def run_headline() -> dict:
+    import ray
+
+    from clangd_to_neo4j_ray.pipelines.build_graph import build_graph_datasets
+    from clangd_to_neo4j_ray.sources.fixtures import alias_lookup, make_entities
+
+    pages_dir = ensure_pages_corpus()
+    entities = make_entities()
+    lut = alias_lookup(entities)
+    names = {e.entity_id: e.canonical_name for e in entities}
+
+    # warm the page cache with one untimed read
+    ray.data.read_parquet(pages_dir).count()
+
+    t0 = time.perf_counter()
+    pages = ray.data.read_parquet(pages_dir)
+    triples, mentions, nodes, edges = build_graph_datasets(pages, lut, names)
+    n_triples = triples.count()
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    wall = time.perf_counter() - t0
+    return {
+        "headline_sec": round(wall, 3),
+        "n_pages": BENCH_PAGES,
+        "n_triples": n_triples,
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "triples_per_sec": round(n_triples / wall, 1),
+        "pages_per_sec": round(BENCH_PAGES / wall, 1),
+    }
+
+
+def run_core() -> dict:
+    """Core KG flow only (extract -> link -> canonicalize), fixed-size actor
+    pool — the scaling-criterion workload (the north_star names exactly these
+    stages + the one canonicalization shuffle)."""
+    import ray
+
+    from clangd_to_neo4j_ray.sources.fixtures import alias_lookup, make_entities
+    from clangd_to_neo4j_ray.stages.canonicalize import canonicalize_triples
+    from clangd_to_neo4j_ray.stages.extract import extract_stage
+    from clangd_to_neo4j_ray.stages.linking import link_scan_stage, split_link_scan
+
+    pages_dir = ensure_pages_corpus()
+    lut = alias_lookup(make_entities())
+    ray.data.read_parquet(pages_dir).count()  # warm page cache
+
+    pool = max(1, NUM_CPUS - 1)
+    t0 = time.perf_counter()
+    pages = ray.data.read_parquet(pages_dir)
+    tagged = link_scan_stage(
+        extract_stage(pages), ray.put(lut), concurrency=pool
+    )
+    candidates, _ = split_link_scan(tagged)
+    n_triples = canonicalize_triples(candidates).count()
+    wall = time.perf_counter() - t0
+    return {
+        "headline_sec": round(wall, 3),
+        "n_pages": BENCH_PAGES,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / wall, 1),
+        "pages_per_sec": round(BENCH_PAGES / wall, 1),
+    }
+
+
+def run_queries() -> dict[str, float]:
+    from clangd_to_neo4j_ray.queries import QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        r = fn(SF_DIR)
+        if hasattr(r, "count"):
+            r.count()  # execute the pipeline
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from clangd_to_neo4j_ray.context import tune_data_context
+
+    tune_data_context()
+
+    headline = run_headline()
+    queries = run_queries()
+    ray.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "pages->KG full build wall time (extract+link+canonicalize+materialize)",
+                "value": headline["headline_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                **headline,
+            }
+        )
+    )
+
+
+def scaling(lo: int = 8, hi: int = 32) -> None:
+    """Same core KG job, two fresh processes at two parallelism levels.
+
+    Uses a larger corpus (SCALE_PAGES, default 150k) so compute dominates the
+    fixed scheduling overheads — the sandbox stand-in for the N vs 4N
+    cluster-size criterion."""
+    scale_pages = os.environ.get("SCALE_PAGES", "150000")
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_SKIP_QUERIES="1",
+            BENCH_CORE="1",
+            BENCH_PAGES=scale_pages,
+        )
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo = results[lo]["value"]
+    t_hi = results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "throughput_lo_pages_per_sec": results[lo]["pages_per_sec"],
+                "throughput_hi_pages_per_sec": results[hi]["pages_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        if os.environ.get("BENCH_SKIP_QUERIES"):
+            # scaling mode: headline only
+            import ray
+
+            ray.init(
+                address="local",
+                num_cpus=NUM_CPUS,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+            from clangd_to_neo4j_ray.context import tune_data_context
+
+            tune_data_context()
+            headline = run_core() if os.environ.get("BENCH_CORE") else run_headline()
+            ray.shutdown()
+            print(
+                json.dumps(
+                    {
+                        "metric": "pages->KG full build wall time",
+                        "value": headline["headline_sec"],
+                        "unit": "sec",
+                        "queries": {},
+                        "sf": SF_DIR,
+                        "num_cpus": NUM_CPUS,
+                        **headline,
+                    }
+                )
+            )
+        else:
+            main()

@@ -5,15 +5,15 @@ The Ray-Data re-expression of the reference's full build
 
     read_parquet(pages)                        Pass 0/1: sources (S1-S6)
       -> extract_stage (map_batches)           byte-identical text per url
-      -> link_stage (EntityLinker actor pool)  Passes 2+6: spans + calls (J2-J4)
-      -> canonicalize_triples (salted 2-phase  Pass 4 + D1/D5: MERGE dedup
-         groupby)
+      -> link_scan_stage (actor pool, 1 pass)  Passes 2+6: spans + calls (J2-J4)
+      -> canonicalize_triples (bucketed        Pass 4 + D1/D5: MERGE dedup
+         two-phase groupby)
       -> entity/hierarchy nodes + edges        Passes 3-5: paths/symbols/includes
       -> write_graph (Parquet + Neo4j CSV +    K1/K2/K4 sinks + cache manifest
          manifest)
 
 One linear dataflow, streaming end-to-end; the only all-to-all exchanges are
-the canonicalization groupbys.
+the bucketed canonicalization/dedup shuffles (stages/shuffle.py).
 """
 
 from __future__ import annotations
@@ -21,80 +21,51 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from ..sources.fixtures import EntityRecord
 from ..stages.canonicalize import canonicalize_triples
 from ..stages.extract import extract_stage
-from ..stages.hierarchy import hierarchy_edges, hierarchy_nodes
-from ..stages.linking import link_stage, mention_stage
+from ..stages.hierarchy import domain_dataset, hierarchy_edges, hierarchy_nodes
+from ..stages.linking import link_scan_stage, split_link_scan
+from ..stages.shuffle import distinct
 
 
-def build_graph_datasets(
-    pages: ray.data.Dataset,
-    alias_lut: dict[str, str],
+def graph_nodes_edges(
+    pages_urls: ray.data.Dataset,
+    mentions: ray.data.Dataset,
+    triples: ray.data.Dataset,
     entity_names: dict[str, str],
-    *,
-    concurrency: int | tuple[int, int] | None = None,
 ):
-    """Run the full build, returning (triples, mentions, nodes, edges)
-    lazy Datasets.
+    """Construct the (nodes, edges) datasets from pipeline intermediates.
 
-    ``alias_lut``: alias surface -> entity_id (broadcast once via ray.put).
-    ``entity_names``: entity_id -> canonical name (for ENTITY node rows).
-    """
-    alias_ref = ray.put(alias_lut)
-    # ``extracted`` and ``mentions`` fan out to several consumers; a lazy
-    # Dataset re-executes its whole lineage per consumer, so pin each shared
-    # intermediate once (the in-memory form of the per-stage checkpoint —
-    # the S3/S8 cache analog; state/checkpoint.py is the durable form).
-    extracted = extract_stage(pages).materialize()
-
-    candidates = link_stage(extracted, alias_ref, concurrency=concurrency)
-    triples = canonicalize_triples(candidates).materialize()
-    mentions = mention_stage(extracted, alias_ref, concurrency=concurrency).materialize()
-
-    # ENTITY nodes: distinct mentioned entities (orphan cleanup by
-    # construction, A8) — two-phase distinct on entity_id.
-    def _partial_entities(batch: pa.Table) -> pa.Table:
-        return (
-            batch.select(["entity_id"])
-            .group_by("entity_id")
-            .aggregate([([], "count_all")])
-            .rename_columns(["entity_id", "n"])
-        )
-
+    Shared by the in-memory full build and the checkpointed incremental
+    build.  ``pages_urls`` needs only a ``url`` column; ``mentions`` needs
+    (url, entity_id); ``triples`` is the canonicalized triple set."""
     names_ref = ray.put(entity_names)
 
-    class EntityNodeBuilder:
-        def __init__(self, ref):
-            self.names: dict[str, str] = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def _partial_entities(batch: pa.Table) -> pa.Table:
+        return pa.table({"entity_id": pa.compute.unique(batch["entity_id"])})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["entity_id"].to_pylist()
-            return pa.table(
-                {
-                    "node_id": pa.array([f"entity:{i}" for i in ids], type=pa.string()),
-                    "label": pa.array(["ENTITY"] * len(ids), type=pa.string()),
-                    "name": pa.array(
-                        [self.names.get(i, i) for i in ids], type=pa.string()
-                    ),
-                }
-            )
-
-    entity_nodes = (
-        mentions.map_batches(_partial_entities, batch_format="pyarrow")
-        .groupby("entity_id")
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(
-            EntityNodeBuilder,
-            fn_constructor_args=(names_ref,),
-            batch_format="pyarrow",
-            concurrency=2,
+    def _entity_rows(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        ids = batch["entity_id"].to_pylist()
+        return pa.table(
+            {
+                "node_id": pa.array([f"entity:{i}" for i in ids], type=pa.string()),
+                "label": pa.array(["ENTITY"] * len(ids), type=pa.string()),
+                "name": pa.array([names.get(i, i) for i in ids], type=pa.string()),
+            }
         )
-    )
 
-    nodes = hierarchy_nodes(extracted).union(entity_nodes)
+    # ENTITY nodes: distinct mentioned entities (orphan cleanup by
+    # construction, A8) — per-batch partial distinct + bucketed distinct.
+    entity_nodes = distinct(
+        mentions.map_batches(_partial_entities, batch_format="pyarrow"),
+        ["entity_id"],
+    ).map_batches(_entity_rows, batch_format="pyarrow")
+
+    domains = domain_dataset(pages_urls).materialize()  # small, shared
+    nodes = hierarchy_nodes(pages_urls, domains).union(entity_nodes)
 
     triple_edges = triples.map_batches(
         lambda t: pa.table(
@@ -111,7 +82,8 @@ def build_graph_datasets(
         batch_format="pyarrow",
     )
 
-    # MENTIONS edges: page -> entity, deduped (two-phase)
+    # MENTIONS edges: page -> entity, deduped (per-batch partial distinct +
+    # bucketed distinct)
     def _partial_mention_edges(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
@@ -124,27 +96,53 @@ def build_graph_datasets(
                 ),
             }
         )
-        return t.group_by(["src", "dst"]).aggregate([([], "count_all")]).rename_columns(
-            ["src", "dst", "n"]
-        )
+        return t.group_by(["src", "dst"]).aggregate([]).rename_columns(["src", "dst"])
 
-    mention_edges = (
-        mentions.map_batches(_partial_mention_edges, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Min(on="n", alias_name="_n"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "src": t["src"],
-                    "type": pa.array(["MENTIONS"] * len(t), type=pa.string()),
-                    "dst": t["dst"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    mention_edges = distinct(
+        mentions.map_batches(_partial_mention_edges, batch_format="pyarrow"),
+        ["src", "dst"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "type": pa.array(["MENTIONS"] * len(t), type=pa.string()),
+                "dst": t["dst"],
+            }
+        ),
+        batch_format="pyarrow",
     )
 
-    edges = hierarchy_edges(extracted).union(mention_edges).union(triple_edges)
+    edges = hierarchy_edges(pages_urls, domains).union(mention_edges).union(triple_edges)
+    return nodes, edges
+
+
+def build_graph_datasets(
+    pages: ray.data.Dataset,
+    alias_lut: dict[str, str],
+    entity_names: dict[str, str],
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+):
+    """Run the full build, returning (triples, mentions, nodes, edges)
+    Datasets.
+
+    ``alias_lut``: alias surface -> entity_id (broadcast once via ray.put).
+    ``entity_names``: entity_id -> canonical name (for ENTITY node rows).
+    """
+    alias_ref = ray.put(alias_lut)
+    # ``extracted`` and ``mentions`` fan out to several consumers; a lazy
+    # Dataset re-executes its whole lineage per consumer, so pin each shared
+    # intermediate once (the in-memory form of the per-stage checkpoint —
+    # the S3/S8 cache analog; state/checkpoint.py is the durable form).
+    extracted = extract_stage(pages).materialize()
+
+    # one-pass link+mention scan (the hot dictionary stage runs exactly once)
+    tagged = link_scan_stage(extracted, alias_ref, concurrency=concurrency).materialize()
+    candidates, mentions = split_link_scan(tagged)
+    triples = canonicalize_triples(candidates).materialize()
+    mentions = mentions.materialize()
+
+    nodes, edges = graph_nodes_edges(extracted, mentions, triples, entity_names)
     return triples, mentions, nodes, edges
 
 

@@ -29,10 +29,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.hashing import entity_ids
 from ..functions.textops import adjacent_pairs, explode_tokens
+from ..stages.shuffle import grouped_agg, grouped_sum
 
 # ---------------------------------------------------------------------------
 # Entity dictionary (side input) — the analog of the reference's symbol table
@@ -117,9 +117,7 @@ def kg_mentions(sf_dir: str) -> ray.data.Dataset:
     """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     partials = ds.map_batches(_mention_partials, batch_format="pyarrow")
-    agg = partials.groupby(["doc_id", "name"]).aggregate(
-        Sum(on="n", alias_name="n_mentions")
-    )
+    agg = grouped_sum(partials, ["doc_id", "name"], {"n": "n_mentions"})
     return agg.map_batches(_add_entity_id_for("name"), batch_format="pyarrow")
 
 
@@ -144,11 +142,11 @@ def kg_entity_nodes(sf_dir: str) -> ray.data.Dataset:
     """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     partials = ds.map_batches(_mention_partials, batch_format="pyarrow")
-    per_doc = partials.groupby(["doc_id", "name"]).aggregate(
-        Sum(on="n", alias_name="n")
-    )
-    per_entity = per_doc.groupby("name").aggregate(
-        Sum(on="n", alias_name="n_mentions"), Count(alias_name="n_docs")
+    per_doc = grouped_sum(partials, ["doc_id", "name"], {"n": "n"})
+    per_entity = grouped_agg(
+        per_doc,
+        ["name"],
+        {"n_mentions": ("n", "sum"), "n_docs": ("n", "size")},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -205,9 +203,10 @@ def kg_triples(sf_dir: str) -> ray.data.Dataset:
     """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     partials = ds.map_batches(_triple_partials, batch_format="pyarrow")
-    agg = partials.groupby(["w1", "w2"]).aggregate(
-        Min(on="evidence_doc", alias_name="evidence_doc"),
-        Sum(on="n", alias_name="n_occurrences"),
+    agg = grouped_agg(
+        partials,
+        ["w1", "w2"],
+        {"evidence_doc": ("evidence_doc", "min"), "n_occurrences": ("n", "sum")},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -255,11 +254,13 @@ def kg_nodes(sf_dir: str) -> ray.data.Dataset:
         uniq = pc.unique(batch["source"])
         return pa.table({"source": uniq})
 
+    from ..stages.shuffle import distinct
+
     pages = docs.map_batches(doc_nodes, batch_format="pyarrow")
     sources = (
-        docs.map_batches(source_partials, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Count(alias_name="_n"))
+        distinct(
+            docs.map_batches(source_partials, batch_format="pyarrow"), ["source"]
+        )
         .map_batches(
             lambda b: pa.table(
                 {
@@ -375,12 +376,11 @@ def kg_sources(sf_dir: str) -> ray.data.Dataset:
         )
         return out.rename_columns(["source", "docs", "toks", "ments"])
 
-    agg = ds.map_batches(partials, batch_format="pyarrow").groupby("source").aggregate(
-        Sum(on="docs", alias_name="n_docs"),
-        Sum(on="toks", alias_name="n_tokens"),
-        Sum(on="ments", alias_name="n_mention_tokens"),
+    return grouped_sum(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["source"],
+        {"docs": "n_docs", "toks": "n_tokens", "ments": "n_mention_tokens"},
     )
-    return agg
 
 
 # ---------------------------------------------------------------------------

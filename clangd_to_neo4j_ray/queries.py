@@ -74,6 +74,11 @@ for _name, _fn in [
 ]:
     register(_name, _fn, _win.ORACLE_SQL[_name])
 
+# --- enrichment (model-driven, deterministic fake client; rows-only check) ---
+from .pipelines.enrich import enrich_documents as _enrich_documents
+
+register("enrich_documents", _enrich_documents)  # no SQL oracle: T3/T4 stage
+
 # --- relational operator coverage (TPC-H-ish) ---
 from .stages import relational as _rel
 

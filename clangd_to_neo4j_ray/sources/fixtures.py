@@ -86,7 +86,11 @@ class PagesFixture:
     oracle_triple_evidence: dict[tuple[str, str, str], str]  # min-url witness
 
 
-def generate_pages(n_pages: int, seed: int = SEED) -> PagesFixture:
+def generate_pages(
+    n_pages: int, seed: int = SEED, start: int = 0
+) -> PagesFixture:
+    """Generate ``n_pages`` rows; ``start`` offsets page indices (urls and
+    timestamps) so sharded generation produces disjoint pages."""
     rng = random.Random(seed)
     entities = make_entities()
     # Zipf-ish popularity over entities and domains.
@@ -99,7 +103,7 @@ def generate_pages(n_pages: int, seed: int = SEED) -> PagesFixture:
     triples: set[tuple[str, str, str]] = set()
     evidence: dict[tuple[str, str, str], str] = {}
 
-    for i in range(n_pages):
+    for i in range(start, start + n_pages):
         dom = rng.choices(range(N_DOMAINS), weights=dom_weights)[0]
         url = f"https://d{dom:02d}.example.com/p{i:06d}"
         lang = "en" if rng.random() < 0.95 else rng.choice(["de", "fr"])
@@ -147,7 +151,7 @@ def generate_pages(n_pages: int, seed: int = SEED) -> PagesFixture:
         html = "".join(parts).encode("utf-8")
 
         urls.append(url)
-        tss.append(EPOCH_US + i * 1_000_000)
+        tss.append(EPOCH_US + i * 1_000_000)  # i includes the shard offset
         htmls.append(html)
         texts.append(text)
         langs.append(lang)
@@ -188,6 +192,36 @@ def generate_pages(n_pages: int, seed: int = SEED) -> PagesFixture:
         }
     )
     return PagesFixture(pages, entities, mentions, triples, evidence)
+
+
+def generate_pages_sharded(
+    n_pages: int, out_dir: str, *, num_shards: int = 32, seed: int = SEED
+) -> str:
+    """Parallel corpus generation: one Ray task per shard, each seeded with
+    (seed, shard) and offset by the shard start index — deterministic and
+    disjoint.  For bench-scale corpora (tests use the sequential
+    generate_pages whose oracle sets are also returned)."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_pages + num_shards - 1) // num_shards
+
+    @ray.remote
+    def gen_shard(shard: int) -> str:
+        import pyarrow.parquet as pq
+
+        n = min(per, n_pages - shard * per)
+        if n <= 0:
+            return ""
+        fx = generate_pages(n, seed=seed * 1000 + shard, start=shard * per)
+        path = os.path.join(out_dir, f"part-{shard:05d}.parquet")
+        pq.write_table(fx.pages, path)
+        return path
+
+    ray.get([gen_shard.remote(s) for s in range(num_shards)])
+    return out_dir
 
 
 def write_pages_fixture(

@@ -41,6 +41,8 @@ def canonicalize_triples(
     witness).  Dead-letter rows are filtered here (with their count kept in
     the returned dataset when ``keep_dead_letters``).
     """
+    from .shuffle import grouped_agg
+
     cands = candidates
     if not keep_dead_letters:
         cands = cands.map_batches(
@@ -50,9 +52,13 @@ def canonicalize_triples(
     partials = cands.select_columns(["subj", "pred", "obj", "evidence_url"]).map_batches(
         _partial_dedup, batch_format="pyarrow"
     )
-    return partials.groupby(["subj", "pred", "obj"]).aggregate(
-        Min(on="evidence_url", alias_name="evidence_url"),
-        Sum(on="n", alias_name="n_occurrences"),
+    return grouped_agg(
+        partials,
+        ["subj", "pred", "obj"],
+        {
+            "evidence_url": ("evidence_url", "min"),
+            "n_occurrences": ("n", "sum"),
+        },
     )
 
 

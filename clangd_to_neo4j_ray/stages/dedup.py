@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min, Sum
+
+from .shuffle import bucketed_group_agg, distinct, grouped_agg
 
 N_MINHASH = 8  # 4-hex-char minhashes per doc (slices of one md5)
 N_BANDS = 4  # LSH bands of r=2 minhashes each
@@ -69,13 +70,10 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
             .rename_columns(["text_hash", "rep_doc_id", "n_dups"])
         )
 
-    return (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(
-            Min(on="rep_doc_id", alias_name="rep_doc_id"),
-            Sum(on="n_dups", alias_name="n_dups"),
-        )
+    return grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["text_hash"],
+        {"rep_doc_id": ("rep_doc_id", "min"), "n_dups": ("n_dups", "sum")},
     )
 
 
@@ -131,27 +129,20 @@ def dedup_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     sigs = minhash_signatures(sf_dir)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a_doc": a, "b_doc": b})
-
-    cand = sigs.groupby(["band", "sig"]).map_groups(pairs, batch_format="pandas")
-    # distinct across buckets (two-phase)
-    return (
-        cand.map_batches(
-            lambda t: t.group_by(["a_doc", "b_doc"])
-            .aggregate([([], "count_all")])
-            .rename_columns(["a_doc", "b_doc", "n"]),
-            batch_format="pyarrow",
+        # vectorized within-bucket pair expansion: self-merge per (band, sig)
+        d = g.drop_duplicates(subset=["band", "sig", "doc_id"])
+        m = d.merge(d, on=["band", "sig"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame(
+            {
+                "a_doc": m["doc_id_x"].astype("int64"),
+                "b_doc": m["doc_id_y"].astype("int64"),
+            }
         )
-        .groupby(["a_doc", "b_doc"])
-        .aggregate(Sum(on="n", alias_name="_n"))
-        .select_columns(["a_doc", "b_doc"])
-    )
+
+    cand = bucketed_group_agg(sigs, ["band", "sig"], pairs)
+    # distinct across buckets (a pair can collide in several bands)
+    return distinct(cand, ["a_doc", "b_doc"])
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,10 @@ ancestor folders, distinct-ed, then folder/file records with parent links.
 For web pages the hierarchy is PROJECT -> DOMAIN (url host) -> PAGE (url).
 Unlike the reference we need no topological insert order (O1) — the Parquet
 sink has no FK constraints, so parent rows are emitted independently.
+
+``domain_dataset`` computes the distinct-domain table once (per-batch
+partial distinct + bucketed distinct); callers materialize it and share it
+between the node and edge builders.
 """
 
 from __future__ import annotations
@@ -14,7 +18,8 @@ from urllib.parse import urlparse
 
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
+
+from .shuffle import distinct
 
 PROJECT_NODE_ID = "project:root"
 
@@ -23,58 +28,77 @@ def domain_of(url: str) -> str:
     return urlparse(url).netloc
 
 
-def _page_edges(batch: pa.Table) -> pa.Table:
+def _with_domain(batch: pa.Table) -> pa.Table:
     urls = batch["url"].to_pylist()
-    doms = [domain_of(u) for u in urls]
     return pa.table(
         {
-            "src": pa.array([f"domain:{d}" for d in doms], type=pa.string()),
-            "type": pa.array(["CONTAINS"] * len(urls), type=pa.string()),
-            "dst": pa.array([f"page:{u}" for u in urls], type=pa.string()),
+            "url": batch["url"],
+            "domain": pa.array([domain_of(u) for u in urls], type=pa.string()),
         }
     )
 
 
-def _domain_partials(batch: pa.Table) -> pa.Table:
-    urls = batch["url"].to_pylist()
-    doms = pa.array([domain_of(u) for u in urls], type=pa.string())
-    t = pa.table({"domain": doms})
-    return t.group_by("domain").aggregate([([], "count_all")]).rename_columns(
-        ["domain", "n"]
-    )
-
-
-def hierarchy_edges(pages: ray.data.Dataset) -> ray.data.Dataset:
-    """(url) -> CONTAINS edges: project->domain (distinct) + domain->page."""
-    page_edges = pages.select_columns(["url"]).map_batches(
-        _page_edges, batch_format="pyarrow"
-    )
-    domain_edges = (
-        pages.select_columns(["url"])
-        .map_batches(_domain_partials, batch_format="pyarrow")
-        .groupby("domain")
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "src": pa.array(
-                        [PROJECT_NODE_ID] * len(b), type=pa.string()
-                    ),
-                    "type": pa.array(["CONTAINS"] * len(b), type=pa.string()),
-                    "dst": pa.array(
-                        [f"domain:{d}" for d in b["domain"].to_pylist()],
+def domain_dataset(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct domains of the corpus (small; callers materialize)."""
+    partials = pages.select_columns(["url"]).map_batches(
+        lambda b: pa.table(
+            {
+                "domain": pa.compute.unique(
+                    pa.array(
+                        [domain_of(u) for u in b["url"].to_pylist()],
                         type=pa.string(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
     )
-    return page_edges.union(domain_edges)
+    return distinct(partials, ["domain"])
 
 
-def hierarchy_nodes(pages: ray.data.Dataset) -> ray.data.Dataset:
+def hierarchy_edges(
+    pages: ray.data.Dataset, domains: ray.data.Dataset | None = None
+) -> ray.data.Dataset:
+    """(url) -> CONTAINS edges: project->domain (distinct) + domain->page."""
+    if domains is None:
+        domains = domain_dataset(pages)
+
+    def page_edges(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        doms = [domain_of(u) for u in urls]
+        return pa.table(
+            {
+                "src": pa.array([f"domain:{d}" for d in doms], type=pa.string()),
+                "type": pa.array(["CONTAINS"] * len(urls), type=pa.string()),
+                "dst": pa.array([f"page:{u}" for u in urls], type=pa.string()),
+            }
+        )
+
+    domain_edges = domains.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pa.array([PROJECT_NODE_ID] * len(b), type=pa.string()),
+                "type": pa.array(["CONTAINS"] * len(b), type=pa.string()),
+                "dst": pa.array(
+                    [f"domain:{d}" for d in b["domain"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pages.select_columns(["url"]).map_batches(
+        page_edges, batch_format="pyarrow"
+    ).union(domain_edges)
+
+
+def hierarchy_nodes(
+    pages: ray.data.Dataset, domains: ray.data.Dataset | None = None
+) -> ray.data.Dataset:
     """PROJECT + DOMAIN + PAGE node rows (unique on node_id)."""
+    if domains is None:
+        domains = domain_dataset(pages)
+
     page_nodes = pages.select_columns(["url"]).map_batches(
         lambda b: pa.table(
             {
@@ -87,24 +111,18 @@ def hierarchy_nodes(pages: ray.data.Dataset) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-    domain_nodes = (
-        pages.select_columns(["url"])
-        .map_batches(_domain_partials, batch_format="pyarrow")
-        .groupby("domain")
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "node_id": pa.array(
-                        [f"domain:{d}" for d in b["domain"].to_pylist()],
-                        type=pa.string(),
-                    ),
-                    "label": pa.array(["DOMAIN"] * len(b), type=pa.string()),
-                    "name": b["domain"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    domain_nodes = domains.map_batches(
+        lambda b: pa.table(
+            {
+                "node_id": pa.array(
+                    [f"domain:{d}" for d in b["domain"].to_pylist()],
+                    type=pa.string(),
+                ),
+                "label": pa.array(["DOMAIN"] * len(b), type=pa.string()),
+                "name": b["domain"],
+            }
+        ),
+        batch_format="pyarrow",
     )
     project_node = ray.data.from_arrow(
         pa.table(

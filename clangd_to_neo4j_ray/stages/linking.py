@@ -3,9 +3,8 @@
 The analog of the reference's reference-scan + caller-resolution passes:
 
 - mention detection = RefKind-filtered reference collection
-  (``clangd_call_graph_builder.py:163-173``): a compiled alias-alternation
-  regex (longest-alternative-first => longest match wins) finds dictionary
-  surfaces with 0-indexed [start, end) spans, the ``Location`` analog
+  (``clangd_call_graph_builder.py:163-173``): dictionary surfaces are found
+  with 0-indexed [start, end) spans, the ``Location`` analog
   (``clangd_index_yaml_parser.py:30-46``).
 - anchored linking = Container-field caller resolution
   (``clangd_call_graph_builder.py:203-227``): the sentence's explicit subject.
@@ -15,12 +14,24 @@ The analog of the reference's reference-scan + caller-resolution passes:
   first-match-in-document-order, the parallel-safe replacement for the
   reference's sorted-span linear scan with ``break``.
 
-The linker is a callable CLASS: the alias dictionary and compiled regex are
-built once per actor from a broadcast object ref (``ray.put`` once on the
-driver), mirroring the reference's per-process ``_worker_impl_instance``
-initializer (T1, ``compilation_parser.py:161-187``).  Unresolvable pronoun
-sentences are emitted as dead-letter rows (pred='__dead_letter__') instead of
-silently dropped — SURVEY §7.5 drop-vs-error policy.
+Two scan strategies (the ``--source-parser {clang,treesitter}`` strategy
+surface analog, ``compilation_manager.py:113-123``):
+
+- ``token`` (default): token-anchored dictionary scan — aliases are token
+  sequences; a first-token hash lookup prunes almost every position, then
+  candidates are verified longest-first.  ~10x faster than the regex path
+  (CPython ``re`` alternation tries each branch per position).  Assumes
+  dictionary surfaces are whole-token sequences with only edge punctuation
+  (true for natural-language entity aliases).
+- ``regex``: single longest-first alternation with hard non-alnum
+  boundaries — the reference semantics the oracle implements; used by the
+  P/R tests to prove the token path equivalent on the fixture.
+
+The linker is a callable CLASS: the dictionary index is built once per actor
+from a broadcast object ref (``ray.put`` once on the driver), mirroring the
+reference's per-process ``_worker_impl_instance`` initializer (T1,
+``compilation_parser.py:161-187``).  Unresolvable pronoun sentences become
+dead-letter rows (pred='__dead_letter__'), not silent drops — SURVEY §7.5.
 """
 
 from __future__ import annotations
@@ -41,6 +52,7 @@ PRED_PHRASES = {
 }
 DEAD_LETTER = "__dead_letter__"
 _SENTENCE_SPLIT = re.compile(r"(?<=\.) ")
+_EDGE_PUNCT = ".,;:!?\"'()[]"
 
 
 def compile_alias_regex(aliases) -> re.Pattern:
@@ -53,6 +65,17 @@ def compile_alias_regex(aliases) -> re.Pattern:
     )
 
 
+def build_token_index(aliases) -> dict[str, list[tuple[list[str], str]]]:
+    """first token -> [(alias tokens, alias surface)], longest first."""
+    idx: dict[str, list[tuple[list[str], str]]] = {}
+    for a in aliases:
+        toks = a.split(" ")
+        idx.setdefault(toks[0], []).append((toks, a))
+    for lst in idx.values():
+        lst.sort(key=lambda t: len(t[0]), reverse=True)
+    return idx
+
+
 class EntityLinker:
     """Actor-pool stage: text -> (mentions, candidate triples) per batch.
 
@@ -60,12 +83,73 @@ class EntityLinker:
     (broadcast side input; no shuffle join for the small side, SURVEY §7.4).
     """
 
-    def __init__(self, alias_ref):
+    def __init__(self, alias_ref, strategy: str = "token"):
         lut = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
         self.lut: dict[str, str] = lut
-        self.pattern = compile_alias_regex(lut.keys())
-        # pred phrases longest-first for unambiguous middle-text matching
-        self.pred_phrases = sorted(PRED_PHRASES, key=len, reverse=True)
+        self.strategy = strategy
+        if strategy == "regex":
+            self.pattern = compile_alias_regex(lut.keys())
+        else:
+            self.index = build_token_index(lut.keys())
+
+    # -- scan: find dictionary surfaces with [start, end) char spans --
+
+    def _scan_regex(self, sent: str, base: int):
+        return [
+            (m.start() + base, m.end() + base, m.group(1))
+            for m in self.pattern.finditer(sent)
+        ]
+
+    def _scan_token(self, sent: str, base: int):
+        toks = sent.split(" ")
+        # char offset of each token within the sentence
+        offs = []
+        run = 0
+        for t in toks:
+            offs.append(run)
+            run += len(t) + 1
+        found = []
+        index = self.index
+        i = 0
+        n = len(toks)
+        while i < n:
+            raw = toks[i]
+            lead = 0
+            while lead < len(raw) and raw[lead] in _EDGE_PUNCT:
+                lead += 1
+            core = raw[lead:].rstrip(_EDGE_PUNCT)
+            cands = index.get(core)
+            matched = False
+            if cands:
+                for alias_toks, alias in cands:
+                    k = len(alias_toks)
+                    if i + k > n:
+                        continue
+                    ok = True
+                    # middle tokens must match exactly; last token may carry
+                    # trailing punctuation (first may carry leading)
+                    for j in range(1, k):
+                        tj = toks[i + j]
+                        cj = tj.rstrip(_EDGE_PUNCT) if j == k - 1 else tj
+                        if cj != alias_toks[j]:
+                            ok = False
+                            break
+                    if ok:
+                        start = base + offs[i] + lead
+                        found.append((start, start + len(alias), alias))
+                        i += k
+                        matched = True
+                        break
+            if not matched:
+                i += 1
+        return found
+
+    def scan(self, sent: str, base: int):
+        if self.strategy == "regex":
+            return self._scan_regex(sent, base)
+        return self._scan_token(sent, base)
+
+    # -- per-document link pass: one scan, both outputs --
 
     def link_text(self, url: str, text: str):
         """Returns (mention_rows, triple_rows) for one document."""
@@ -74,10 +158,7 @@ class EntityLinker:
         last_subject: str | None = None
         offset = 0
         for sent in _SENTENCE_SPLIT.split(text):
-            found = [
-                (m.start() + offset, m.end() + offset, m.group(1))
-                for m in self.pattern.finditer(sent)
-            ]
+            found = self.scan(sent, offset)
             anchored_idx = -1
             if len(found) == 2:
                 # candidate anchored relation: "<A> <phrase> <B>."
@@ -105,12 +186,13 @@ class EntityLinker:
             offset += len(sent) + 1  # +1 for the split space
         return mentions, triples
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _tables(self, batch: pa.Table):
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
+        m_rows = {k: [] for k in ("url", "entity_id", "surface", "start", "end", "anchored")}
         subj, pred, obj, eurl, s_arr, e_arr = [], [], [], [], [], []
         for url, text in zip(urls, texts):
-            _mentions, triples = self.link_text(url, text)
+            mentions, triples = self.link_text(url, text)
             for t in triples:
                 subj.append(t[0])
                 pred.append(t[1])
@@ -118,7 +200,14 @@ class EntityLinker:
                 eurl.append(t[3])
                 s_arr.append(t[4])
                 e_arr.append(t[5])
-        return pa.table(
+            for (u, eid, surf, s, e, anch) in mentions:
+                m_rows["url"].append(u)
+                m_rows["entity_id"].append(eid)
+                m_rows["surface"].append(surf)
+                m_rows["start"].append(s)
+                m_rows["end"].append(e)
+                m_rows["anchored"].append(anch)
+        cand_tbl = pa.table(
             {
                 "subj": pa.array(subj, type=pa.string()),
                 "pred": pa.array(pred, type=pa.string()),
@@ -128,34 +217,72 @@ class EntityLinker:
                 "evidence_end": pa.array(e_arr, type=pa.int32()),
             }
         )
+        ment_tbl = pa.table(
+            {
+                "url": pa.array(m_rows["url"], type=pa.string()),
+                "entity_id": pa.array(m_rows["entity_id"], type=pa.string()),
+                "surface": pa.array(m_rows["surface"], type=pa.string()),
+                "start": pa.array(m_rows["start"], type=pa.int32()),
+                "end": pa.array(m_rows["end"], type=pa.int32()),
+                "anchored": pa.array(m_rows["anchored"], type=pa.bool_()),
+            }
+        )
+        return cand_tbl, ment_tbl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cand_tbl, _ = self._tables(batch)
+        return cand_tbl
 
 
 class MentionScanner(EntityLinker):
     """Same state, mention-rows output (the F3 intermediate)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        texts = batch["text"].to_pylist()
-        rows = {k: [] for k in ("url", "entity_id", "surface", "start", "end", "anchored")}
-        for url, text in zip(urls, texts):
-            mentions, _ = self.link_text(url, text)
-            for (u, eid, surf, s, e, anch) in mentions:
-                rows["url"].append(u)
-                rows["entity_id"].append(eid)
-                rows["surface"].append(surf)
-                rows["start"].append(s)
-                rows["end"].append(e)
-                rows["anchored"].append(anch)
+        _, ment_tbl = self._tables(batch)
+        return ment_tbl
+
+
+class LinkScan(EntityLinker):
+    """Combined one-pass output: tagged union of candidate-triple rows and
+    mention rows (kind column).  One scan instead of two — the hot stage
+    runs once; downstream splits with cheap vectorized filters."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cand, ment = self._tables(batch)
+        n_c, n_m = len(cand), len(ment)
+
+        def pad(col, before: int, after: int, typ):
+            return pa.array(
+                [None] * before + col.to_pylist() + [None] * after, type=typ
+            )
+
         return pa.table(
             {
-                "url": pa.array(rows["url"], type=pa.string()),
-                "entity_id": pa.array(rows["entity_id"], type=pa.string()),
-                "surface": pa.array(rows["surface"], type=pa.string()),
-                "start": pa.array(rows["start"], type=pa.int32()),
-                "end": pa.array(rows["end"], type=pa.int32()),
-                "anchored": pa.array(rows["anchored"], type=pa.bool_()),
+                "kind": pa.array(
+                    ["triple"] * n_c + ["mention"] * n_m, type=pa.string()
+                ),
+                "subj": pad(cand["subj"], 0, n_m, pa.string()),
+                "pred": pad(cand["pred"], 0, n_m, pa.string()),
+                "obj": pad(cand["obj"], 0, n_m, pa.string()),
+                "evidence_url": pad(cand["evidence_url"], 0, n_m, pa.string()),
+                "url": pad(ment["url"], n_c, 0, pa.string()),
+                "entity_id": pad(ment["entity_id"], n_c, 0, pa.string()),
+                "surface": pad(ment["surface"], n_c, 0, pa.string()),
+                "start": pad(ment["start"], n_c, 0, pa.int32()),
+                "end": pad(ment["end"], n_c, 0, pa.int32()),
+                "anchored": pad(ment["anchored"], n_c, 0, pa.bool_()),
             }
         )
+
+
+def _pool_stage(cls, extracted, alias_ref, concurrency, batch_size, strategy):
+    return extracted.select_columns(["url", "text"]).map_batches(
+        cls,
+        fn_constructor_args=(alias_ref, strategy),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_pool_size(),
+    )
 
 
 def link_stage(
@@ -164,15 +291,10 @@ def link_stage(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    strategy: str = "token",
 ) -> ray.data.Dataset:
     """extracted(url, text) -> candidate triples (actor pool)."""
-    return extracted.select_columns(["url", "text"]).map_batches(
-        EntityLinker,
-        fn_constructor_args=(alias_ref,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_pool_size(),
-    )
+    return _pool_stage(EntityLinker, extracted, alias_ref, concurrency, batch_size, strategy)
 
 
 def mention_stage(
@@ -181,11 +303,35 @@ def mention_stage(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    strategy: str = "token",
 ) -> ray.data.Dataset:
-    return extracted.select_columns(["url", "text"]).map_batches(
-        MentionScanner,
-        fn_constructor_args=(alias_ref,),
+    return _pool_stage(MentionScanner, extracted, alias_ref, concurrency, batch_size, strategy)
+
+
+def link_scan_stage(
+    extracted: ray.data.Dataset,
+    alias_ref,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    strategy: str = "token",
+) -> ray.data.Dataset:
+    """One-pass combined stage (preferred in full builds)."""
+    return _pool_stage(LinkScan, extracted, alias_ref, concurrency, batch_size, strategy)
+
+
+def split_link_scan(tagged: ray.data.Dataset):
+    """tagged -> (candidates, mentions) via vectorized filters."""
+    candidates = tagged.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "triple")).select(
+            ["subj", "pred", "obj", "evidence_url"]
+        ),
         batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or default_pool_size(),
     )
+    mentions = tagged.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "mention")).select(
+            ["url", "entity_id", "surface", "start", "end", "anchored"]
+        ),
+        batch_format="pyarrow",
+    )
+    return candidates, mentions

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video are treated as opaque ``binary`` columns with typed
+metadata, processed by actor-pool ``map_batches`` stages with SMALL batch
+sizes (wide rows).  The decode kernels themselves are STUBBED — the
+image/audio libraries are not in this container — behind
+``DecodeUnavailable`` / a deterministic fake, but all the Ray-side plumbing
+(schema, batch sizing, actor signature, output layout) is real and tested.
+
+The html->text extract stage (stages/extract.py) is the production instance
+of the same shape: binary in, structured columns out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..context import WIDE_ROW_BATCH_SIZE, default_pool_size
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # -1 when unknown/not applicable
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by real decoders when the codec library is absent."""
+
+
+def _try_import_pillow():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: image payload -> fixed-size feature vector.
+
+    With Pillow present it would decode + resize + channel-mean; in this
+    container it uses the deterministic fake path (md5-derived features) so
+    the pipeline shape is exercised end to end.  State (decoder choice) is
+    resolved once per actor."""
+
+    def __init__(self, feature_dim: int = 16, allow_fake: bool = True):
+        self.feature_dim = feature_dim
+        self.have_pillow = _try_import_pillow()
+        if not self.have_pillow and not allow_fake:
+            raise DecodeUnavailable("Pillow not installed and fake decode disabled")
+
+    def _fake_features(self, payload: bytes) -> np.ndarray:
+        buf = b"".join(
+            hashlib.md5(bytes([k]) + payload).digest()
+            for k in range((self.feature_dim * 4 + 15) // 16)
+        )
+        v = np.frombuffer(buf, dtype=np.uint32)[: self.feature_dim]
+        return (v.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self._fake_features(p if p is not None else b"")
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "features": pa.array(
+                    [f.tolist() for f in feats], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def extract_media_features(
+    media: ray.data.Dataset, *, feature_dim: int = 16
+) -> ray.data.Dataset:
+    """media (MEDIA_SCHEMA) -> (media_id, kind, features).
+
+    Wide-row stage: small batch size so payload bytes x concurrency fits the
+    worker heap; payload column dropped at the stage boundary."""
+    return media.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs={"feature_dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=WIDE_ROW_BATCH_SIZE,
+        concurrency=default_pool_size(),
+    )
+
+
+def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for tests (binary payloads of varying
+    size, typed metadata)."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k: [] for k in ("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 1024)))
+        rows["media_id"].append(f"m{i:06d}")
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
+        rows["width"].append(rng.randint(16, 512) if kind != "audio" else -1)
+        rows["height"].append(rng.randint(16, 512) if kind != "audio" else -1)
+        rows["duration_ms"].append(rng.randint(100, 60000) if kind != "image" else -1)
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], type=pa.string()),
+            "kind": pa.array(rows["kind"], type=pa.string()),
+            "payload": pa.array(rows["payload"], type=pa.binary()),
+            "mime": pa.array(rows["mime"], type=pa.string()),
+            "width": pa.array(rows["width"], type=pa.int32()),
+            "height": pa.array(rows["height"], type=pa.int32()),
+            "duration_ms": pa.array(rows["duration_ms"], type=pa.int32()),
+        }
+    )

@@ -23,6 +23,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..functions.numerics import round_col, round_half_away
 from .joins import broadcast_anti_join, broadcast_join, broadcast_semi_join
+from .shuffle import bucketed_group_agg, grouped_sum
 
 Q1_CUTOFF = "1998-09-02"
 Q3_SEGMENT = "BUILDING"
@@ -182,10 +183,10 @@ def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
             )
         )
 
-    agg = (
-        li.map_batches(partials, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum(on="rev", alias_name="rev"))
+    agg = grouped_sum(
+        li.map_batches(partials, batch_format="pyarrow"),
+        ["o_orderkey"],
+        {"rev": "rev"},
     )
     top = agg.map_batches(
         lambda t: round_col(t, "rev", 2),
@@ -230,9 +231,11 @@ def top_parts_by_revenue(sf_dir: str) -> ray.data.Dataset:
         )
 
     agg = (
-        li.map_batches(partials, batch_format="pyarrow")
-        .groupby("p_partkey")
-        .aggregate(Sum(on="rev", alias_name="rev"))
+        grouped_sum(
+            li.map_batches(partials, batch_format="pyarrow"),
+            ["p_partkey"],
+            {"rev": "rev"},
+        )
         .map_batches(lambda t: round_col(t, "rev", 2), batch_format="pyarrow")
         .sort(["rev", "p_partkey"], descending=[True, False])
         .limit(TOP_PARTS_K)
@@ -348,16 +351,18 @@ def orders_rank_window(sf_dir: str) -> ray.data.Dataset:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
 
     def rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        # vectorized rank within every customer in the bucket
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        rn = g.groupby("o_custkey").cumcount() + 1
         return pd.DataFrame(
             {
-                "o_custkey": g["o_custkey"],
-                "o_orderkey": g["o_orderkey"],
-                "rn": pd.Series(np.arange(1, len(g) + 1), dtype="int64"),
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "rn": rn.astype("int64").to_numpy(),
             }
         )
 
-    return orders.groupby("o_custkey").map_groups(rank, batch_format="pandas")
+    return bucketed_group_agg(orders, ["o_custkey"], rank)
 
 
 ORACLE_SQL: dict[str, str] = {

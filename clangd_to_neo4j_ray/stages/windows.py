@@ -15,9 +15,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Sum
 
-from ..functions.numerics import round_col
+from ..functions.numerics import round_col, round_half_away
+from .shuffle import grouped_agg, grouped_sum
 
 TUMBLE_US = 3_600_000_000  # 1-hour tumbling windows
 SESSION_GAP_US = 1_800_000_000  # 30-min inactivity gap
@@ -51,10 +51,10 @@ def events_tumbling(sf_dir: str) -> ray.data.Dataset:
             .rename_columns(["user_id", "window_start_us", "n", "v"])
         )
 
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(["user_id", "window_start_us"])
-        .aggregate(Sum(on="n", alias_name="n_events"), Sum(on="v", alias_name="sum_value"))
+    agg = grouped_sum(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["user_id", "window_start_us"],
+        {"n": "n_events", "v": "sum_value"},
     )
     return agg.map_batches(
         lambda t: round_col(t, "sum_value", 2), batch_format="pyarrow"
@@ -114,15 +114,19 @@ def events_type_stats(sf_dir: str) -> ray.data.Dataset:
             .rename_columns(["event_type", "user_id", "n", "v"])
         )
 
-    per_user = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Sum(on="n", alias_name="n"), Sum(on="v", alias_name="v"))
+    per_user = grouped_sum(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        {"n": "n", "v": "v"},
     )
-    agg = per_user.groupby("event_type").aggregate(
-        Sum(on="n", alias_name="n_events"),
-        Count(alias_name="n_users"),
-        Sum(on="v", alias_name="sum_value"),
+    agg = grouped_agg(
+        per_user,
+        ["event_type"],
+        {
+            "n_events": ("n", "sum"),
+            "n_users": ("user_id", "size"),
+            "sum_value": ("v", "sum"),
+        },
     )
     return agg.map_batches(
         lambda t: round_col(t, "sum_value", 2), batch_format="pyarrow"

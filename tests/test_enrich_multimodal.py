@@ -1,0 +1,68 @@
+"""Enrichment (fake-LLM summaries, deterministic embeddings, hierarchy
+rollups) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import ray.data
+
+from clangd_to_neo4j_ray.pipelines.enrich import (
+    enrich_documents,
+    enrich_pages,
+    project_summary,
+    rollup_domains,
+)
+from clangd_to_neo4j_ray.sources.fixtures import generate_pages
+from clangd_to_neo4j_ray.stages.multimodal import (
+    extract_media_features,
+    synthesize_media_table,
+)
+
+
+def test_enrich_hierarchy_deterministic():
+    fx = generate_pages(120)
+    pages = ray.data.from_arrow(fx.pages.select(["url", "text"]))
+    ps = enrich_pages(pages).materialize()
+    rows = ps.take_all()
+    assert len(rows) == 120
+    # unit-norm embeddings, deterministic summaries
+    r0 = rows[0]
+    assert abs(np.linalg.norm(r0["embedding"]) - 1.0) < 1e-9
+    assert r0["summary"].startswith("summary[")
+
+    doms = rollup_domains(ps).materialize()
+    dom_rows = {r["domain"]: r for r in doms.take_all()}
+    assert sum(r["n_pages"] for r in dom_rows.values()) == 120
+
+    proj = project_summary(doms)
+    assert proj["node_id"] == "project:root"
+
+    # re-run end to end: byte-identical results (determinism)
+    ps2 = enrich_pages(ray.data.from_arrow(fx.pages.select(["url", "text"])))
+    proj2 = project_summary(rollup_domains(ps2))
+    assert proj2["summary"] == proj["summary"]
+    assert proj2["embedding"] == proj["embedding"]
+
+
+def test_enrich_documents_rows(sf_dir):
+    out = enrich_documents(sf_dir).take_all()
+    assert len(out) == 500
+    assert all(r["summary"].startswith("summary[doc:") for r in out)
+    # deterministic across runs
+    out2 = enrich_documents(sf_dir).take_all()
+    assert {r["doc_id"]: r["summary"] for r in out} == {
+        r["doc_id"]: r["summary"] for r in out2
+    }
+
+
+def test_media_feature_plumbing():
+    media = synthesize_media_table(64)
+    ds = ray.data.from_arrow(media)
+    feats = extract_media_features(ds, feature_dim=16).take_all()
+    assert len(feats) == 64
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic per payload
+    feats2 = extract_media_features(ray.data.from_arrow(media), feature_dim=16).take_all()
+    a = {r["media_id"]: list(r["features"]) for r in feats}
+    b = {r["media_id"]: list(r["features"]) for r in feats2}
+    assert a == b
