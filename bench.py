@@ -27,7 +27,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "40000"))
-PAGES_CACHE = f"/tmp/kg_bench_pages_{BENCH_PAGES}"
+BENCH_DENSE = os.environ.get("BENCH_DENSE")  # denser pages for scaling runs
+SENT_RANGE = (20, 40) if BENCH_DENSE else (2, 6)
+PAGES_CACHE = f"/tmp/kg_bench_pages_{BENCH_PAGES}" + ("_dense" if BENCH_DENSE else "")
 
 
 def ensure_pages_corpus() -> str:
@@ -40,7 +42,7 @@ def ensure_pages_corpus() -> str:
         return PAGES_CACHE
     from clangd_to_neo4j_ray.sources.fixtures import generate_pages_sharded
 
-    generate_pages_sharded(BENCH_PAGES, PAGES_CACHE, num_shards=32)
+    generate_pages_sharded(BENCH_PAGES, PAGES_CACHE, num_shards=32, sent_range=SENT_RANGE)
     return PAGES_CACHE
 
 
@@ -85,19 +87,23 @@ def run_core() -> dict:
     from clangd_to_neo4j_ray.sources.fixtures import alias_lookup, make_entities
     from clangd_to_neo4j_ray.stages.canonicalize import canonicalize_triples
     from clangd_to_neo4j_ray.stages.extract import extract_stage
-    from clangd_to_neo4j_ray.stages.linking import link_scan_stage, split_link_scan
+    from clangd_to_neo4j_ray.stages.linking import link_stage
 
     pages_dir = ensure_pages_corpus()
     lut = alias_lookup(make_entities())
     ray.data.read_parquet(pages_dir).count()  # warm page cache
 
-    pool = max(1, NUM_CPUS - 1)
+    # ~3/4 of the CPUs for the linking pool; the remainder feeds extract +
+    # the canonicalization shuffle + the hash-shuffle aggregator actors.
+    # Small batches (1024) keep the pool load-balanced (measured 1.4x over
+    # 4096 at pool 28).  See BASELINE.md for the measured scaling analysis
+    # (single-box memory-bandwidth ceiling above ~16 cores).
+    pool = max(1, NUM_CPUS * 3 // 4)
     t0 = time.perf_counter()
     pages = ray.data.read_parquet(pages_dir)
-    tagged = link_scan_stage(
-        extract_stage(pages), ray.put(lut), concurrency=pool
+    candidates = link_stage(
+        extract_stage(pages), ray.put(lut), concurrency=pool, batch_size=1024
     )
-    candidates, _ = split_link_scan(tagged)
     n_triples = canonicalize_triples(candidates).count()
     wall = time.perf_counter() - t0
     return {
@@ -131,6 +137,11 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # honest per-leg CPU accounting: without this, polars/arrow thread
+        # pools inside 1-CPU tasks fan out to every physical core and the
+        # low-parallelism leg silently uses the whole box
+        runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1",
+                                  "OMP_NUM_THREADS": "1"}},
     )
     from clangd_to_neo4j_ray.context import tune_data_context
 
@@ -155,13 +166,17 @@ def main() -> None:
     )
 
 
-def scaling(lo: int = 8, hi: int = 32) -> None:
+def scaling(
+    lo: int = int(os.environ.get("SCALE_LO", "8")),
+    hi: int = int(os.environ.get("SCALE_HI", "32")),
+) -> None:
     """Same core KG job, two fresh processes at two parallelism levels.
 
     Uses a larger corpus (SCALE_PAGES, default 150k) so compute dominates the
     fixed scheduling overheads — the sandbox stand-in for the N vs 4N
     cluster-size criterion."""
-    scale_pages = os.environ.get("SCALE_PAGES", "150000")
+    scale_pages = os.environ.get("SCALE_PAGES", "400000")
+    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
     results = {}
     for ncpu in (lo, hi):
         env = dict(
@@ -170,12 +185,17 @@ def scaling(lo: int = 8, hi: int = 32) -> None:
             BENCH_SKIP_QUERIES="1",
             BENCH_CORE="1",
             BENCH_PAGES=scale_pages,
+            BENCH_DENSE="1",
         )
-        out = subprocess.run(
-            [sys.executable, __file__], env=env, capture_output=True, text=True,
-            check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        runs = []
+        for _ in range(repeats):  # min over repeats: the sandbox host is
+            out = subprocess.run(  # noisy (2x swings between identical runs)
+                [sys.executable, __file__], env=env, capture_output=True,
+                text=True, check=True,
+            ).stdout
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        results[ncpu] = min(runs, key=lambda r: r["value"])
+        results[ncpu]["all_sec"] = [r["value"] for r in runs]
     t_lo = results[lo]["value"]
     t_hi = results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
@@ -189,6 +209,9 @@ def scaling(lo: int = 8, hi: int = 32) -> None:
                 "throughput_lo_pages_per_sec": results[lo]["pages_per_sec"],
                 "throughput_hi_pages_per_sec": results[hi]["pages_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "all_sec_lo": results[lo]["all_sec"],
+                "all_sec_hi": results[hi]["all_sec"],
+                "n_pages": int(scale_pages),
             }
         )
     )
@@ -208,10 +231,12 @@ if __name__ == "__main__":
                 include_dashboard=False,
                 ignore_reinit_error=True,
                 logging_level="ERROR",
+                runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1",
+                                          "OMP_NUM_THREADS": "1"}},
             )
             from clangd_to_neo4j_ray.context import tune_data_context
 
-            tune_data_context()
+            tune_data_context(hash_shuffle=bool(os.environ.get("BENCH_CORE")))
             headline = run_core() if os.environ.get("BENCH_CORE") else run_headline()
             ray.shutdown()
             print(

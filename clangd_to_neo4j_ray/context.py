@@ -16,6 +16,7 @@ def tune_data_context(
     target_max_block_size: int | None = 128 * 1024 * 1024,
     preserve_order: bool = False,
     quiet: bool = True,
+    hash_shuffle: bool = False,
 ) -> None:
     """Apply standard DataContext settings.
 
@@ -29,6 +30,26 @@ def tune_data_context(
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
     ctx.execution_options.preserve_order = preserve_order
+    # Hash-partitioned shuffle for groupby/repartition: measured ~3.5x faster
+    # than the sort-based default on LARGE bucketed aggregations (1M+ partial
+    # rows, stages/shuffle.py) but slower on small inputs (fixed aggregator
+    # actor cost), so it is opt-in per workload.  Aggregator actors must be
+    # sized to the cluster: the defaults oversubscribe a small CPU budget and
+    # the shuffle deadlocks (observed on a 4-CPU test cluster).
+    if hash_shuffle:
+        try:
+            from ray.data.context import ShuffleStrategy
+
+            cpus = (
+                int(ray.cluster_resources().get("CPU", 4))
+                if ray.is_initialized()
+                else 4
+            )
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            ctx.max_hash_shuffle_aggregators = max(1, cpus // 8)
+            ctx.default_hash_shuffle_parallelism = max(4, cpus)
+        except ImportError:
+            pass
     if quiet:
         ctx.enable_progress_bars = False
         try:

@@ -74,6 +74,16 @@ for _name, _fn in [
 ]:
     register(_name, _fn, _win.ORACLE_SQL[_name])
 
+# --- graph algorithms (J7/J8 transitive closure; A4 skew probe) ---
+from .stages import graph_algo as _galgo
+
+register(
+    "kg_reachability", _galgo.kg_reachability, _galgo.ORACLE_SQL["kg_reachability"]
+)
+register(
+    "kg_head_entities", _galgo.kg_head_entities, _galgo.ORACLE_SQL["kg_head_entities"]
+)
+
 # --- enrichment (model-driven, deterministic fake client; rows-only check) ---
 from .pipelines.enrich import enrich_documents as _enrich_documents
 

@@ -87,10 +87,15 @@ class PagesFixture:
 
 
 def generate_pages(
-    n_pages: int, seed: int = SEED, start: int = 0
+    n_pages: int,
+    seed: int = SEED,
+    start: int = 0,
+    sent_range: tuple[int, int] = (2, 6),
 ) -> PagesFixture:
     """Generate ``n_pages`` rows; ``start`` offsets page indices (urls and
-    timestamps) so sharded generation produces disjoint pages."""
+    timestamps) so sharded generation produces disjoint pages.  ``sent_range``
+    controls sentences per page (the bench scale corpus uses denser pages,
+    closer to real web-page text volume)."""
     rng = random.Random(seed)
     entities = make_entities()
     # Zipf-ish popularity over entities and domains.
@@ -112,7 +117,7 @@ def generate_pages(
         page_triples: list[tuple[str, str, str]] = []
         last_subject: str | None = None
 
-        n_sent = rng.randint(2, 6)
+        n_sent = rng.randint(*sent_range)
         for _s in range(n_sent):
             r = rng.random()
             if r < 0.25:
@@ -195,7 +200,12 @@ def generate_pages(
 
 
 def generate_pages_sharded(
-    n_pages: int, out_dir: str, *, num_shards: int = 32, seed: int = SEED
+    n_pages: int,
+    out_dir: str,
+    *,
+    num_shards: int = 32,
+    seed: int = SEED,
+    sent_range: tuple[int, int] = (2, 6),
 ) -> str:
     """Parallel corpus generation: one Ray task per shard, each seeded with
     (seed, shard) and offset by the shard start index — deterministic and
@@ -215,7 +225,7 @@ def generate_pages_sharded(
         n = min(per, n_pages - shard * per)
         if n <= 0:
             return ""
-        fx = generate_pages(n, seed=seed * 1000 + shard, start=shard * per)
+        fx = generate_pages(n, seed=seed * 1000 + shard, start=shard * per, sent_range=sent_range)
         path = os.path.join(out_dir, f"part-{shard:05d}.parquet")
         pq.write_table(fx.pages, path)
         return path

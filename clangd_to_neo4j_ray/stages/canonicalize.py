@@ -49,8 +49,10 @@ def canonicalize_triples(
             lambda t: t.filter(pa.compute.not_equal(t["pred"], DEAD_LETTER)),
             batch_format="pyarrow",
         )
+    # large partial batches: better key reduction before the shuffle (a
+    # 4k batch dedups ~0%, a 64k batch ~40% on the bench corpus)
     partials = cands.select_columns(["subj", "pred", "obj", "evidence_url"]).map_batches(
-        _partial_dedup, batch_format="pyarrow"
+        _partial_dedup, batch_format="pyarrow", batch_size=65536
     )
     return grouped_agg(
         partials,
@@ -71,6 +73,22 @@ def dead_letter_stats(candidates: ray.data.Dataset) -> pa.Table:
     )
     n = dl.count()
     return pa.table({"pred": pa.array([DEAD_LETTER]), "n": pa.array([n], type=pa.int64())})
+
+
+def merge_partial_triples(partials: ray.data.Dataset) -> ray.data.Dataset:
+    """Final merge for pre-partialed (subj, pred, obj, evidence_url, n) rows
+    (e.g. from FusedExtractLinkPartial): one bucketed low-cardinality
+    exchange."""
+    from .shuffle import grouped_agg
+
+    return grouped_agg(
+        partials,
+        ["subj", "pred", "obj"],
+        {
+            "evidence_url": ("evidence_url", "min"),
+            "n_occurrences": ("n", "sum"),
+        },
+    )
 
 
 def salt_probe(ds: ray.data.Dataset, key: str, top_k: int = 20):

@@ -275,6 +275,29 @@ class LinkScan(EntityLinker):
         )
 
 
+class FusedExtractLinkPartial(EntityLinker):
+    """Operator fusion for the hot path: extract (when html is present) +
+    link + within-batch partial triple dedup, all inside one actor call.
+
+    Keeps the expensive work on the scalable actor pool and leaves only the
+    final low-cardinality bucket merge outside it — the key to linear
+    scaling of the core extract->link->canonicalize flow (the non-pool CPUs
+    otherwise serialize the canonicalization tail)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .extract import extract_batch
+
+        if "html" in batch.column_names:
+            batch = extract_batch(batch)
+        cand, _ = self._tables(batch)
+        out = cand.select(["subj", "pred", "obj", "evidence_url"])
+        return (
+            out.group_by(["subj", "pred", "obj"])
+            .aggregate([("evidence_url", "min"), ([], "count_all")])
+            .rename_columns(["subj", "pred", "obj", "evidence_url", "n"])
+        )
+
+
 def _pool_stage(cls, extracted, alias_ref, concurrency, batch_size, strategy):
     return extracted.select_columns(["url", "text"]).map_batches(
         cls,

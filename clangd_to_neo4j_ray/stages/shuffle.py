@@ -6,11 +6,13 @@ full key, which is expensive at high key cardinality (measured: 33s for a
 shuffle to a LOW-cardinality exchange:
 
     map_batches:  bucket = hash(keys) % B     (vectorized, deterministic)
-    groupby(bucket).map_groups(pandas_agg)    (B groups; per-bucket agg is
-                                               one vectorized pandas groupby)
+    groupby(bucket).map_groups(agg)           (B groups; per-bucket agg is
+                                               one vectorized polars groupby)
 
-measured at 1.3s on the same input — and it is exactly the "hash-partition
-by key" layout the north_rule's salted groupby calls for: every key lands in
+Measured on 1M partial rows / 311k keys (32 CPUs): 2.1s with the polars
+per-bucket aggregation + hash-shuffle strategy, vs 19s for the naive Ray
+groupby over the raw candidate rows.  It is exactly the "hash-partition by
+key" layout the north_rule's salted groupby calls for: every key lands in
 one bucket, head keys are pre-shrunk by the per-batch partial aggregation
 upstream (each block contributes at most one row per key), so bucket sizes
 stay bounded by #blocks x keys/bucket.
@@ -25,24 +27,47 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pandas as pd
+import polars as pl
+import pyarrow as pa
 import ray.data
 
 DEFAULT_BUCKETS = 32
+_SEP = "\x1f"
 
 
-def add_bucket(
-    keys: list[str], num_buckets: int = DEFAULT_BUCKETS, col: str = "__bucket"
-):
-    """Vectorized deterministic bucket column from the key columns.
+def _compat(tbl: pa.Table) -> pa.Table:
+    """polars emits large_string/large_list; cast back to the standard Arrow
+    types so unions/comparisons with non-polars stages line up."""
+    fields = []
+    changed = False
+    for f in tbl.schema:
+        t = f.type
+        if pa.types.is_large_string(t):
+            t, changed = pa.string(), True
+        elif pa.types.is_large_binary(t):
+            t, changed = pa.binary(), True
+        elif pa.types.is_large_list(t):
+            t, changed = pa.list_(t.value_type), True
+        fields.append(pa.field(f.name, t))
+    return tbl.cast(pa.schema(fields)) if changed else tbl
 
-    Uses ``pd.util.hash_pandas_object`` (stable within a cluster; every
-    worker runs the same pandas build)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[keys], index=False)
-        df = df.copy()
-        df[col] = (h % num_buckets).astype("int64")
-        return df
+def _add_bucket_arrow(keys: list[str], num_buckets: int):
+    """Deterministic vectorized bucket column (polars xxhash on the
+    separator-joined key string; stable across processes for one polars
+    build — every worker in a cluster runs the same image)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        h = df.select(
+            pl.concat_str(
+                [pl.col(k).cast(pl.Utf8) for k in keys], separator=_SEP
+            )
+            .hash(seed=0)
+            .alias("h")
+        )["h"]
+        out = df.with_columns((h % num_buckets).cast(pl.Int64).alias("__bucket"))
+        return _compat(out.to_arrow())
 
     return f
 
@@ -54,13 +79,15 @@ def bucketed_group_agg(
     *,
     num_buckets: int = DEFAULT_BUCKETS,
 ) -> ray.data.Dataset:
-    """Group ``ds`` by ``keys`` using the bucketed shuffle.
+    """Group ``ds`` by ``keys`` using the bucketed shuffle, with a PANDAS
+    per-bucket aggregation callback (for custom Python logic — pair
+    expansion, ranking...).
 
     ``agg`` receives one bucket (all rows of every key hashing there) as a
     DataFrame — it must do the per-key aggregation itself (one vectorized
     ``df.groupby(keys)``) and must NOT assume it sees a single key."""
     bucketed = ds.map_batches(
-        add_bucket(keys, num_buckets), batch_format="pandas"
+        _add_bucket_arrow(keys, num_buckets), batch_format="pyarrow"
     )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -69,20 +96,27 @@ def bucketed_group_agg(
     return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
-def grouped_sum(
+def _bucketed_polars(
     ds: ray.data.Dataset,
     keys: list[str],
-    sums: dict[str, str],
-    *,
-    num_buckets: int = DEFAULT_BUCKETS,
+    agg_arrow: Callable[[pa.Table], pa.Table],
+    num_buckets: int,
 ) -> ray.data.Dataset:
-    """Bucketed sum aggregation: ``sums`` maps input column -> output name."""
+    bucketed = ds.map_batches(
+        _add_bucket_arrow(keys, num_buckets), batch_format="pyarrow"
+    )
+    return bucketed.groupby("__bucket").map_groups(
+        agg_arrow, batch_format="pyarrow"
+    )
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(keys, as_index=False)[list(sums)].sum()
-        return out.rename(columns=sums)
 
-    return bucketed_group_agg(ds, keys, agg, num_buckets=num_buckets)
+_POLARS_AGGS = {
+    "sum": lambda c: pl.col(c).sum(),
+    "min": lambda c: pl.col(c).min(),
+    "max": lambda c: pl.col(c).max(),
+    "size": lambda c: pl.len().cast(pl.Int64),
+    "mean": lambda c: pl.col(c).mean(),
+}
 
 
 def grouped_agg(
@@ -93,16 +127,34 @@ def grouped_agg(
     num_buckets: int = DEFAULT_BUCKETS,
 ) -> ray.data.Dataset:
     """Bucketed named aggregation: ``spec`` maps output column ->
-    (input column, pandas agg name) — e.g. {"evidence_doc": ("doc_id",
-    "min"), "n": ("n", "sum")}."""
+    (input column, agg name in {sum,min,max,size,mean}).  Vectorized polars
+    per-bucket aggregation (no pandas object-dtype round-trip)."""
+    exprs = [
+        _POLARS_AGGS[fn](col).alias(out) for out, (col, fn) in spec.items()
+    ]
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(keys, as_index=False).agg(
-            **{o: pd.NamedAgg(column=c, aggfunc=f) for o, (c, f) in spec.items()}
-        )
-        return out
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).drop("__bucket")
+        out = df.group_by(keys, maintain_order=False).agg(exprs)
+        return _compat(out.select(keys + list(spec)).to_arrow())
 
-    return bucketed_group_agg(ds, keys, agg, num_buckets=num_buckets)
+    return _bucketed_polars(ds, keys, per_bucket, num_buckets)
+
+
+def grouped_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """Bucketed sum aggregation: ``sums`` maps input column -> output name."""
+    return grouped_agg(
+        ds,
+        keys,
+        {out: (col, "sum") for col, out in sums.items()},
+        num_buckets=num_buckets,
+    )
 
 
 def distinct(
@@ -113,7 +165,8 @@ def distinct(
 ) -> ray.data.Dataset:
     """Bucketed exact distinct on the key columns (D2/D3 analog)."""
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=keys)[keys]
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).drop("__bucket")
+        return _compat(df.select(keys).unique(maintain_order=False).to_arrow())
 
-    return bucketed_group_agg(ds, keys, agg, num_buckets=num_buckets)
+    return _bucketed_polars(ds, keys, per_bucket, num_buckets)

@@ -10,6 +10,8 @@ from clangd_to_neo4j_ray.queries import ORACLE, QUERIES
 from .util import assert_matches_oracle
 
 NAMES = [
+    "kg_reachability",
+    "kg_head_entities",
     "text_quality",
     "text_langid",
     "text_token_totals",
