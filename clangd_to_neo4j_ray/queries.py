@@ -97,6 +97,7 @@ for _name, _fn in [
     ("q3_top_orders", _rel.q3_top_orders),
     ("top_parts_by_revenue", _rel.top_parts_by_revenue),
     ("customers_without_orders", _rel.customers_without_orders),
+    ("customer_order_totals", _rel.customer_order_totals),
     ("nation_order_stats", _rel.nation_order_stats),
     ("orders_rank_window", _rel.orders_rank_window),
 ]:

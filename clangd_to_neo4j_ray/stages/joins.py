@@ -81,11 +81,22 @@ def hash_join(
     right: ray.data.Dataset,
     on: str | tuple[str, ...],
     *,
+    right_on: str | tuple[str, ...] | None = None,
     num_partitions: int = 16,
     join_type: str = "inner",
 ) -> ray.data.Dataset:
-    """Large-large hash-partitioned shuffle join (Ray Dataset.join)."""
+    """Large-large hash-partitioned shuffle join (Ray Dataset.join).
+
+    Note: the right key column is dropped from the output when key names
+    differ (Ray semantics)."""
     on_t = (on,) if isinstance(on, str) else tuple(on)
+    r_t = None
+    if right_on is not None:
+        r_t = (right_on,) if isinstance(right_on, str) else tuple(right_on)
     return left.join(
-        right, join_type=join_type, num_partitions=num_partitions, on=on_t
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on_t,
+        right_on=r_t,
     )

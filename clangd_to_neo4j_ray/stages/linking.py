@@ -153,27 +153,36 @@ class EntityLinker:
 
     def link_text(self, url: str, text: str):
         """Returns (mention_rows, triple_rows) for one document."""
+        sentence_founds = []
+        offset = 0
+        for sent in _SENTENCE_SPLIT.split(text):
+            sentence_founds.append((offset, self.scan(sent, offset)))
+            offset += len(sent) + 1  # +1 for the split space
+        return self.doc_relations(url, text, sentence_founds)
+
+    def doc_relations(self, url: str, text: str, sentence_founds):
+        """Shared relation logic given per-sentence mention spans.
+
+        ``sentence_founds``: [(sent_start_char, [(start, end, alias), ...])]
+        in document order.  Spans are absolute char offsets into ``text``.
+        Sentences without mentions may be omitted (they affect nothing)."""
         mentions = []  # (url, entity_id, surface, start, end, anchored)
         triples = []  # (subj, pred, obj, url, start, end)
         last_subject: str | None = None
-        offset = 0
-        for sent in _SENTENCE_SPLIT.split(text):
-            found = self.scan(sent, offset)
+        for ss, found in sentence_founds:
             anchored_idx = -1
             if len(found) == 2:
                 # candidate anchored relation: "<A> <phrase> <B>."
                 (s0, e0, a0), (s1, e1, a1) = found
-                middle = sent[e0 - offset : s1 - offset].strip()
-                pred = PRED_PHRASES.get(middle)
+                pred = PRED_PHRASES.get(text[e0:s1].strip())
                 if pred is not None:
                     subj, obj = self.lut[a0], self.lut[a1]
                     triples.append((subj, pred, obj, url, s0, e1))
                     last_subject = subj
                     anchored_idx = 0
-            elif len(found) == 1 and sent.startswith("It "):
+            elif len(found) == 1 and text[ss : ss + 3] == "It ":
                 s1, e1, a1 = found[0]
-                middle = sent[3 : s1 - offset].strip()
-                pred = PRED_PHRASES.get(middle)
+                pred = PRED_PHRASES.get(text[ss + 3 : s1].strip())
                 if pred is not None:
                     obj = self.lut[a1]
                     if last_subject is not None:
@@ -183,7 +192,6 @@ class EntityLinker:
                         triples.append((None, DEAD_LETTER, obj, url, s1, e1))
             for k, (s, e, a) in enumerate(found):
                 mentions.append((url, self.lut[a], a, s, e, k == anchored_idx))
-            offset += len(sent) + 1  # +1 for the split space
         return mentions, triples
 
     def _tables(self, batch: pa.Table):

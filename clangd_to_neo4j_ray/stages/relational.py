@@ -342,6 +342,65 @@ def nation_order_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def customer_order_totals(sf_dir: str) -> ray.data.Dataset:
+    """Large-large hash-partitioned shuffle join (Ray ``Dataset.join``):
+    per-customer order totals with customer attributes.
+
+    Output: (c_custkey, c_name, n_orders, sum_totalprice) for customers with
+    >= 1 order.  Plan: bucketed pre-aggregation of the fact side (orders ->
+    one row per customer) THEN the shuffle join — join inputs are minimal,
+    the standard aggregate-before-join pushdown."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "v": batch["o_totalprice"],
+            }
+        )
+        return (
+            t.group_by("o_custkey")
+            .aggregate([("n", "sum"), ("v", "sum")])
+            .rename_columns(["o_custkey", "n", "v"])
+        )
+
+    from .shuffle import grouped_agg
+
+    per_cust = grouped_agg(
+        orders.map_batches(partials, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"n_orders": ("n", "sum"), "v": ("v", "sum")},
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    from .joins import hash_join
+
+    joined = hash_join(
+        per_cust,
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        num_partitions=16,
+        join_type="inner",
+    )
+    # Dataset.join drops the right key column; rename left key to the
+    # customer-side name and round the money sum.
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "n_orders": t["n_orders"],
+                "sum_totalprice": pa.array(
+                    round_half_away(t["v"].to_numpy(zero_copy_only=False), 2)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def orders_rank_window(sf_dir: str) -> ray.data.Dataset:
     """Window-function analog: per-customer order sequence number.
 
@@ -416,6 +475,12 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name
+""",
+    "customer_order_totals": """
+SELECT c.c_custkey, c.c_name, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS sum_totalprice
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
 """,
     "orders_rank_window": """
 SELECT o_custkey, o_orderkey,

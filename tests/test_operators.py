@@ -24,6 +24,7 @@ NAMES = [
     "q3_top_orders",
     "top_parts_by_revenue",
     "customers_without_orders",
+    "customer_order_totals",
     "nation_order_stats",
     "orders_rank_window",
 ]

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the bucketed shuffle engine and the
+token-scan/regex-scan equivalence — the engine's two most load-bearing
+custom components."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clangd_to_neo4j_ray.stages.shuffle import distinct, grouped_agg, grouped_sum
+
+KEYS = st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"])
+ROWS = st.lists(
+    st.tuples(KEYS, KEYS, st.integers(-1000, 1000)), min_size=1, max_size=200
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(rows=ROWS, buckets=st.sampled_from([1, 3, 8]))
+@settings(**_SETTINGS)
+def test_grouped_sum_matches_pandas(rows, buckets):
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+    ds = ray.data.from_pandas(df)
+    got = (
+        grouped_sum(ds, ["k1", "k2"], {"v": "s"}, num_buckets=buckets)
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby(["k1", "k2"], as_index=False)["v"]
+        .sum()
+        .rename(columns={"v": "s"})
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_grouped_agg_min_max_size(rows):
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+    ds = ray.data.from_pandas(df)
+    got = (
+        grouped_agg(
+            ds,
+            ["k1"],
+            {"mn": ("v", "min"), "mx": ("v", "max"), "n": ("v", "size")},
+        )
+        .to_pandas()
+        .sort_values("k1")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k1", as_index=False)
+        .agg(mn=("v", "min"), mx=("v", "max"), n=("v", "size"))
+        .sort_values("k1")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@given(rows=ROWS, buckets=st.sampled_from([1, 4]))
+@settings(**_SETTINGS)
+def test_distinct_matches_pandas(rows, buckets):
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+    ds = ray.data.from_pandas(df)
+    got = distinct(ds, ["k1", "k2"], num_buckets=buckets).to_pandas()
+    got_set = set(zip(got["k1"], got["k2"]))
+    exp_set = set(zip(df["k1"], df["k2"]))
+    assert got_set == exp_set
+    assert len(got) == len(got_set)  # no duplicates survive
+
+
+WORDS = st.sampled_from(
+    ["Alpha", "Beta", "Alpha Beta", "Gamma", "it", "works", "for", "x9", "The Alpha"]
+)
+
+
+@given(tokens=st.lists(WORDS, min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_token_scan_equals_regex_scan(tokens):
+    """For any space-joined token sequence, the fast token scanner and the
+    reference regex scanner find identical (start, end, surface) spans."""
+    from clangd_to_neo4j_ray.stages.linking import EntityLinker
+
+    lut = {"Alpha": "e1", "Alpha Beta": "e2", "Gamma": "e3", "The Alpha": "e4"}
+    text = " ".join(tokens) + "."
+    tok = EntityLinker(lut, strategy="token")
+    rex = EntityLinker(lut, strategy="regex")
+    assert tok.scan(text, 0) == rex.scan(text, 0), text
