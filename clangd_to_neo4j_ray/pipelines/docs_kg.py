@@ -383,6 +383,46 @@ def kg_sources(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def kg_mention_windows(sf_dir: str) -> ray.data.Dataset:
+    """Token context window around every vocabulary mention.
+
+    Output: (doc_id, i, prev_tok, tok, next_tok) — 1-based token position
+    ``i`` (matching SQL generate_subscripts); empty string at document
+    edges.  The source-slice reader analog (M15,
+    ``code_graph_rag_generator.py:506-522``): recover surrounding context
+    for a located reference without re-reading the source.
+    """
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        flat, pos, parents = explode_tokens(batch)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        in_vocab = pc.is_in(flat, value_set=_VOCAB_ARRAY).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.nonzero(in_vocab)[0]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parents[idx]]
+        prev_ok = (idx - 1 >= 0) & (
+            parents[np.maximum(idx - 1, 0)] == parents[idx]
+        )
+        next_ok = (idx + 1 < len(toks)) & (
+            parents[np.minimum(idx + 1, len(toks) - 1)] == parents[idx]
+        )
+        prev_tok = np.where(prev_ok, toks[np.maximum(idx - 1, 0)], "")
+        next_tok = np.where(next_ok, toks[np.minimum(idx + 1, len(toks) - 1)], "")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "i": pa.array(pos[idx] + 1, type=pa.int64()),
+                "prev_tok": pa.array(prev_tok, type=pa.string()),
+                "tok": pa.array(toks[idx], type=pa.string()),
+                "next_tok": pa.array(next_tok, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(windows, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Stage: graph statistics (A1 analog) — small final aggregate
 # ---------------------------------------------------------------------------
@@ -490,6 +530,16 @@ SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(p.ments) AS BIGINT) AS n_mention_tokens
 FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
 GROUP BY d.source
+""",
+    "kg_mention_windows": f"""
+WITH {SQL_TOK}, {SQL_VOCAB}
+SELECT t.doc_id, CAST(t.i AS BIGINT) AS i,
+       coalesce(p.tok, '') AS prev_tok, t.tok,
+       coalesce(nx.tok, '') AS next_tok
+FROM tok t
+LEFT JOIN tok p ON p.doc_id = t.doc_id AND p.i = t.i - 1
+LEFT JOIN tok nx ON nx.doc_id = t.doc_id AND nx.i = t.i + 1
+WHERE t.tok IN (SELECT name FROM vocab)
 """,
     "kg_stats": f"""
 WITH {SQL_TOK}, {SQL_VOCAB},

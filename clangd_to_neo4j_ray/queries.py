@@ -31,6 +31,7 @@ for _name, _fn in [
     ("kg_nodes", docs_kg.kg_nodes),
     ("kg_edges", docs_kg.kg_edges),
     ("kg_sources", docs_kg.kg_sources),
+    ("kg_mention_windows", docs_kg.kg_mention_windows),
     ("kg_stats", docs_kg.kg_stats),
 ]:
     register(_name, _fn, docs_kg.ORACLE_SQL[_name])

@@ -78,6 +78,55 @@ def kg_reachability(sf_dir: str) -> pa.Table:
     )
 
 
+def prune_orphans_to_fixpoint(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    *,
+    protect: set[str] | None = None,
+    max_rounds: int = 20,
+):
+    """A8+A9 analog: iteratively delete nodes with no incident edges, then
+    edges whose endpoints vanished, until fixpoint (the reference loops
+    DELETE-empty-FOLDER until none remain, ``neo4j_manager.py:144-161``).
+
+    Driver-side loop of broadcast anti-joins; node/edge id sets are assumed
+    broadcastable (they are aggregates, not raw rows).  Returns
+    (nodes, edges) as materialized Datasets.
+    """
+    import pyarrow.compute as _pc
+
+    protect = protect or set()
+    for _ in range(max_rounds):
+        edge_tbl = edges.select_columns(["src", "dst"]).take_all()
+        incident = {r["src"] for r in edge_tbl} | {r["dst"] for r in edge_tbl}
+        keep = ray.put(pa.array(sorted(incident | protect)))
+
+        def keep_nodes(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                _pc.is_in(batch["node_id"], value_set=ray.get(keep))
+            )
+
+        pruned = nodes.map_batches(keep_nodes, batch_format="pyarrow").materialize()
+        if pruned.count() == nodes.count():
+            return pruned, edges
+        nodes = pruned
+        node_ids = ray.put(
+            pa.array(sorted(r["node_id"] for r in nodes.select_columns(["node_id"]).take_all()))
+        )
+
+        def keep_edges(batch: pa.Table) -> pa.Table:
+            ids = ray.get(node_ids)
+            return batch.filter(
+                _pc.and_(
+                    _pc.is_in(batch["src"], value_set=ids),
+                    _pc.is_in(batch["dst"], value_set=ids),
+                )
+            )
+
+        edges = edges.map_batches(keep_edges, batch_format="pyarrow").materialize()
+    return nodes, edges
+
+
 def kg_head_entities(sf_dir: str):
     """A4-analog skew probe as a driver query: top-10 entities by total
     mention count (the salting-decision statistic).

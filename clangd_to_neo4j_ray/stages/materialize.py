@@ -71,11 +71,27 @@ def write_graph(
             os.path.join(out_dir, "neo4j"),
         )
 
+    # per-stage execution stats (A3 counter-accumulation analog): Ray Data's
+    # stage breakdown for the node/edge writes, kept as text for inspection
+    def _stats_of(ds: ray.data.Dataset) -> str:
+        try:
+            return ds.stats()[:4000]
+        except Exception:
+            return ""
+
     manifest = {
         "lineage": lineage or {},
         "stages": {
-            "write_nodes": {"rows": n_nodes, "wall_sec": round(t1 - t0, 4)},
-            "write_edges": {"rows": n_edges, "wall_sec": round(t2 - t1, 4)},
+            "write_nodes": {
+                "rows": n_nodes,
+                "wall_sec": round(t1 - t0, 4),
+                "ray_stats": _stats_of(nodes),
+            },
+            "write_edges": {
+                "rows": n_edges,
+                "wall_sec": round(t2 - t1, 4),
+                "ray_stats": _stats_of(edges),
+            },
         },
         "outputs": {
             "nodes": nodes_dir,

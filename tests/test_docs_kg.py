@@ -15,6 +15,7 @@ QUERIES = [
     ("kg_nodes", docs_kg.kg_nodes),
     ("kg_edges", docs_kg.kg_edges),
     ("kg_sources", docs_kg.kg_sources),
+    ("kg_mention_windows", docs_kg.kg_mention_windows),
     ("kg_stats", docs_kg.kg_stats),
 ]
 

@@ -1,0 +1,72 @@
+"""Graph-algorithm unit tests: BFS reachability, iterative orphan prune,
+dead-letter accounting."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from clangd_to_neo4j_ray.stages.graph_algo import (
+    prune_orphans_to_fixpoint,
+    reachable_from,
+)
+
+
+def test_reachable_from_hop_distances():
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["a", "b", "c", "x"],
+                "dst": ["b", "c", "a", "y"],
+            }
+        )
+    )
+    dist = reachable_from(edges, {"a"})
+    assert dist == {"a": 0, "b": 1, "c": 2}
+
+
+def test_prune_orphans_iterative():
+    # chain a->b plus orphan o1; removing o1 leaves a,b intact;
+    # then a dangling chain c (node without edges) cascades out
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "node_id": ["a", "b", "o1", "c"],
+                "label": ["N"] * 4,
+                "name": ["a", "b", "o1", "c"],
+            }
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table({"src": ["a", "b"], "type": ["E", "E"], "dst": ["b", "c"]})
+    )
+    n2, e2 = prune_orphans_to_fixpoint(nodes, edges)
+    ids = {r["node_id"] for r in n2.take_all()}
+    assert ids == {"a", "b", "c"}  # all edge-incident; only o1 pruned
+    assert e2.count() == 2
+
+
+def test_dead_letter_rows_emitted():
+    """Drop-vs-error policy (SURVEY §7.5): a pronoun sentence with no
+    preceding anchored subject becomes a dead-letter row, not a silent drop."""
+    from clangd_to_neo4j_ray.stages.canonicalize import dead_letter_stats
+    from clangd_to_neo4j_ray.stages.linking import DEAD_LETTER, EntityLinker
+
+    lut = {"Gamma": "e3"}
+    linker = EntityLinker(lut)
+    mentions, triples = linker.link_text("u1", "It links to Gamma.")
+    assert len(triples) == 1
+    assert triples[0][0] is None and triples[0][1] == DEAD_LETTER
+
+    cand = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([None, "s"], type=pa.string()),
+                "pred": pa.array([DEAD_LETTER, "links_to"], type=pa.string()),
+                "obj": pa.array(["e3", "e4"], type=pa.string()),
+                "evidence_url": pa.array(["u1", "u2"], type=pa.string()),
+            }
+        )
+    )
+    stats = dead_letter_stats(cand)
+    assert stats["n"][0].as_py() == 1
