@@ -157,6 +157,46 @@ def grouped_sum(
     )
 
 
+def salted_group_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    *,
+    num_salts: int = 8,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> ray.data.Dataset:
+    """Explicit salted two-phase aggregation (the north_rule's skew pattern
+    spelled out): phase 1 groups by (keys + salt) so a head key's rows are
+    split across ``num_salts`` independent partial groups; phase 2 merges
+    the partials by key alone.
+
+    The bucketed machinery already bounds head keys via per-batch partial
+    combine; this form additionally caps the *reducer-side* group size for
+    keys whose partials still dominate a bucket (e.g. one key = 50% of all
+    rows).  Results are identical to ``grouped_sum`` (tested)."""
+    import numpy as np
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__salt"] = np.arange(len(df), dtype=np.int64) % num_salts
+        return df
+
+    salted = ds.map_batches(add_salt, batch_format="pandas")
+    phase1 = grouped_agg(
+        salted,
+        keys + ["__salt"],
+        {out: (col, "sum") for col, out in sums.items()},
+        num_buckets=num_buckets,
+    )
+    phase2 = grouped_agg(
+        phase1,
+        keys,
+        {out: (out, "sum") for out in sums.values()},
+        num_buckets=num_buckets,
+    )
+    return phase2
+
+
 def distinct(
     ds: ray.data.Dataset,
     keys: list[str],
