@@ -31,16 +31,35 @@ def oracle_triples(
     pages: list[dict], entities: list[EntityRecord]
 ) -> dict[tuple[str, str, str], str]:
     """pages rows (url, html) -> {(subj, pred, obj): min_evidence_url}."""
-    lut = {a: e.entity_id for e in entities for a in e.aliases}
+    from .sources.fixtures import shared_aliases
+
+    lut: dict = {a: e.entity_id for e in entities for a in e.aliases}
+    lut.update(shared_aliases(entities))
     pattern = re.compile(
         r"(?<![A-Za-z0-9])("
         + "|".join(re.escape(a) for a in sorted(lut, key=len, reverse=True))
         + r")(?![A-Za-z0-9])"
     )
+
+    def resolve(alias: str, doc_eids: set[str]) -> str:
+        v = lut[alias]
+        if isinstance(v, str):
+            return v
+        for eid, _canonical in v:
+            if eid in doc_eids:
+                return eid
+        return v[0][0]
+
     out: dict[tuple[str, str, str], str] = {}
     for row in pages:
         url = row["url"]
         text = extract_text_from_html(row["html"])
+        # page context: unambiguous mentions anywhere on the page
+        doc_eids = {
+            lut[m.group(1)]
+            for m in pattern.finditer(text)
+            if isinstance(lut[m.group(1)], str)
+        }
         last_subject = None
         for sent in text.split(". "):
             if not sent.endswith("."):
@@ -50,13 +69,21 @@ def oracle_triples(
             if len(ms) == 2:
                 middle = sent[ms[0].end() : ms[1].start()].strip()
                 if middle in PRED_PHRASES:
-                    subj = lut[ms[0].group(1)]
-                    triple = (subj, PRED_PHRASES[middle], lut[ms[1].group(1)])
+                    subj = resolve(ms[0].group(1), doc_eids)
+                    triple = (
+                        subj,
+                        PRED_PHRASES[middle],
+                        resolve(ms[1].group(1), doc_eids),
+                    )
                     last_subject = subj
             elif len(ms) == 1 and sent.startswith("It "):
                 middle = sent[3 : ms[0].start()].strip()
                 if middle in PRED_PHRASES and last_subject is not None:
-                    triple = (last_subject, PRED_PHRASES[middle], lut[ms[0].group(1)])
+                    triple = (
+                        last_subject,
+                        PRED_PHRASES[middle],
+                        resolve(ms[0].group(1), doc_eids),
+                    )
             if triple is not None:
                 if triple not in out or url < out[triple]:
                     out[triple] = url

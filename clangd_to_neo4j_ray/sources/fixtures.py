@@ -55,6 +55,10 @@ class EntityRecord:
     aliases: list[str] = field(default_factory=list)
 
 
+N_SHARED = 50  # ambiguous aliases, each shared by two entities
+SHARED_BASE = 300  # first entity index used for shared-alias pairs
+
+
 def make_entities() -> list[EntityRecord]:
     """F2 dictionary: content-hash IDs, 1-3 deterministic alias variants."""
     out = []
@@ -68,12 +72,34 @@ def make_entities() -> list[EntityRecord]:
     return out
 
 
-def alias_lookup(entities: list[EntityRecord]) -> dict[str, str]:
-    """alias surface -> entity_id (aliases are unique by construction)."""
-    lut: dict[str, str] = {}
+def shared_aliases(entities: list[EntityRecord]) -> dict[str, list[tuple[str, str]]]:
+    """Ambiguous surfaces: ``Corp{i:02d}`` is an alias of BOTH entity 2i and
+    entity 2i+1.  Candidates listed in ascending entity_id order — the
+    deterministic fallback order for context resolution."""
+    out: dict[str, list[tuple[str, str]]] = {}
+    for i in range(N_SHARED):
+        # tail entities (rarely drawn by the Zipf sampler) so accidental
+        # co-mentions of the wrong candidate stay rare
+        a, b = entities[SHARED_BASE + 2 * i], entities[SHARED_BASE + 2 * i + 1]
+        cands = sorted(
+            [(a.entity_id, a.canonical_name), (b.entity_id, b.canonical_name)]
+        )
+        out[f"Corp{i:02d}"] = cands
+    return out
+
+
+def alias_lookup(entities: list[EntityRecord]):
+    """alias surface -> entity_id, or (for ambiguous shared surfaces) a list
+    of candidate (entity_id, canonical_name) pairs.
+
+    The ambiguous entries are the context-scored-linking workload: the
+    engine must resolve them from page context (a candidate mentioned
+    unambiguously elsewhere on the page wins; else min entity_id)."""
+    lut: dict = {}
     for e in entities:
         for a in e.aliases:
             lut[a] = e.entity_id
+    lut.update(shared_aliases(entities))
     return lut
 
 
@@ -108,13 +134,17 @@ def generate_pages(
     triples: set[tuple[str, str, str]] = set()
     evidence: dict[tuple[str, str, str], str] = {}
 
+    shared_map = shared_aliases(entities)
+
     for i in range(start, start + n_pages):
         dom = rng.choices(range(N_DOMAINS), weights=dom_weights)[0]
         url = f"https://d{dom:02d}.example.com/p{i:06d}"
         lang = "en" if rng.random() < 0.95 else rng.choice(["de", "fr"])
         sentences: list[str] = []
-        page_mentions: list[tuple[str, str, bool]] = []  # (surface, eid, anchored)
-        page_triples: list[tuple[str, str, str]] = []
+        # [surface, eid_or_None, anchored, candidate_ids_or_None]
+        page_mentions: list[list] = []
+        page_triples: list[list] = []
+        patches: list[tuple[int, int]] = []  # (triple idx, mention idx)
         last_subject: str | None = None
 
         n_sent = rng.randint(*sent_range)
@@ -129,19 +159,47 @@ def generate_pages(
                 eb = entities[rng.choices(range(N_ENTITIES), weights=ent_weights)[0]]
                 sb = rng.choice(eb.aliases)
                 sentences.append(f"It {phrase} {sb}.")
-                page_mentions.append((sb, eb.entity_id, False))
-                page_triples.append((last_subject, pred, eb.entity_id))
+                page_mentions.append([sb, eb.entity_id, False, None])
+                page_triples.append([last_subject, pred, eb.entity_id])
                 continue
             # anchored sentence
             phrase, pred = rng.choice(pred_list)
             ea = entities[rng.choices(range(N_ENTITIES), weights=ent_weights)[0]]
-            eb = entities[rng.choices(range(N_ENTITIES), weights=ent_weights)[0]]
-            sa, sb = rng.choice(ea.aliases), rng.choice(eb.aliases)
-            sentences.append(f"{sa} {phrase} {sb}.")
-            page_mentions.append((sa, ea.entity_id, True))
-            page_mentions.append((sb, eb.entity_id, False))
-            page_triples.append((ea.entity_id, pred, eb.entity_id))
+            sa = rng.choice(ea.aliases)
+            if rng.random() < 0.2:
+                # ambiguous object: a shared alias, disambiguated by a
+                # preceding unambiguous mention of the intended entity
+                # (the context-scored-linking workload).  The final label is
+                # assigned at page end by the resolution rule itself, so the
+                # planted truth is exactly rule-consistent.
+                j = rng.randrange(N_SHARED)
+                intended = SHARED_BASE + 2 * j + rng.randrange(2)
+                eb = entities[intended]
+                sb = f"Corp{j:02d}"
+                sentences.append(f"{eb.canonical_name} appears in this report.")
+                page_mentions.append([eb.canonical_name, eb.entity_id, False, None])
+                sentences.append(f"{sa} {phrase} {sb}.")
+                page_mentions.append([sa, ea.entity_id, True, None])
+                cands = [c[0] for c in shared_map[sb]]
+                page_mentions.append([sb, None, False, cands])
+                page_triples.append([ea.entity_id, pred, None])
+                patches.append((len(page_triples) - 1, len(page_mentions) - 1))
+            else:
+                eb = entities[rng.choices(range(N_ENTITIES), weights=ent_weights)[0]]
+                sb = rng.choice(eb.aliases)
+                sentences.append(f"{sa} {phrase} {sb}.")
+                page_mentions.append([sa, ea.entity_id, True, None])
+                page_mentions.append([sb, eb.entity_id, False, None])
+                page_triples.append([ea.entity_id, pred, eb.entity_id])
             last_subject = ea.entity_id
+
+        # page-end resolution of ambiguous mentions (the engine's rule)
+        unamb = {m[1] for m in page_mentions if m[3] is None}
+        for m in page_mentions:
+            if m[3] is not None:
+                m[1] = next((c for c in m[3] if c in unamb), m[3][0])
+        for ti, mi in patches:
+            page_triples[ti][2] = page_mentions[mi][1]
 
         text = " ".join(sentences)
         # html wraps each sentence in <p>; some rows add boilerplate that
@@ -163,16 +221,17 @@ def generate_pages(
 
         # oracle mention spans: locate each planted surface occurrence in order
         cursor = 0
-        for surface, eid, anch in page_mentions:
-            start = text.index(surface, cursor)
+        for surface, eid, anch, _cands in page_mentions:
+            m_s = text.index(surface, cursor)
             m_url.append(url)
             m_eid.append(eid)
             m_surface.append(surface)
-            m_start.append(start)
-            m_end.append(start + len(surface))
+            m_start.append(m_s)
+            m_end.append(m_s + len(surface))
             m_anch.append(anch)
-            cursor = start + len(surface)
-        for t in page_triples:
+            cursor = m_s + len(surface)
+        for tl in page_triples:
+            t = tuple(tl)
             triples.add(t)
             if t not in evidence or url < evidence[t]:
                 evidence[t] = url

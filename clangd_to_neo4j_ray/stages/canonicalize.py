@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count
 
 from .linking import DEAD_LETTER
 

@@ -160,12 +160,36 @@ class EntityLinker:
             offset += len(sent) + 1  # +1 for the split space
         return self.doc_relations(url, text, sentence_founds)
 
+    def resolve(self, alias: str, doc_eids: set[str]) -> str:
+        """Dictionary + context-scored entity resolution.
+
+        Unambiguous surfaces map directly.  An ambiguous surface (a list of
+        (entity_id, canonical) candidates) resolves to the first candidate
+        (ascending entity_id) that is unambiguously mentioned elsewhere on
+        the same page — the context score — falling back deterministically
+        to the min-id candidate.  This is the web analog of the reference's
+        Container-vs-spatial caller disambiguation (SURVEY §2.4 J3/J4)."""
+        v = self.lut[alias]
+        if isinstance(v, str):
+            return v
+        for eid, _canonical in v:
+            if eid in doc_eids:
+                return eid
+        return v[0][0]
+
     def doc_relations(self, url: str, text: str, sentence_founds):
         """Shared relation logic given per-sentence mention spans.
 
         ``sentence_founds``: [(sent_start_char, [(start, end, alias), ...])]
         in document order.  Spans are absolute char offsets into ``text``.
         Sentences without mentions may be omitted (they affect nothing)."""
+        # pass 1: page-context entity set from unambiguous mentions
+        doc_eids = {
+            v
+            for _ss, found in sentence_founds
+            for (_s, _e, a) in found
+            if isinstance((v := self.lut[a]), str)
+        }
         mentions = []  # (url, entity_id, surface, start, end, anchored)
         triples = []  # (subj, pred, obj, url, start, end)
         last_subject: str | None = None
@@ -176,7 +200,8 @@ class EntityLinker:
                 (s0, e0, a0), (s1, e1, a1) = found
                 pred = PRED_PHRASES.get(text[e0:s1].strip())
                 if pred is not None:
-                    subj, obj = self.lut[a0], self.lut[a1]
+                    subj = self.resolve(a0, doc_eids)
+                    obj = self.resolve(a1, doc_eids)
                     triples.append((subj, pred, obj, url, s0, e1))
                     last_subject = subj
                     anchored_idx = 0
@@ -184,14 +209,16 @@ class EntityLinker:
                 s1, e1, a1 = found[0]
                 pred = PRED_PHRASES.get(text[ss + 3 : s1].strip())
                 if pred is not None:
-                    obj = self.lut[a1]
+                    obj = self.resolve(a1, doc_eids)
                     if last_subject is not None:
                         triples.append((last_subject, pred, obj, url, s1, e1))
                     else:
                         # dead-letter: unresolvable context (drop-vs-error)
                         triples.append((None, DEAD_LETTER, obj, url, s1, e1))
             for k, (s, e, a) in enumerate(found):
-                mentions.append((url, self.lut[a], a, s, e, k == anchored_idx))
+                mentions.append(
+                    (url, self.resolve(a, doc_eids), a, s, e, k == anchored_idx)
+                )
         return mentions, triples
 
     def _tables(self, batch: pa.Table):

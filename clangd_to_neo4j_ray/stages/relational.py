@@ -19,10 +19,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ..functions.numerics import round_col, round_half_away
-from .joins import broadcast_anti_join, broadcast_join, broadcast_semi_join
+from .joins import broadcast_join, broadcast_semi_join
 from .shuffle import bucketed_group_agg, grouped_sum
 
 Q1_CUTOFF = "1998-09-02"

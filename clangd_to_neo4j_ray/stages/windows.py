@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.numerics import round_col, round_half_away
+from ..functions.numerics import round_col
 from .shuffle import grouped_agg, grouped_sum
 
 TUMBLE_US = 3_600_000_000  # 1-hour tumbling windows

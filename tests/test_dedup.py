@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
-import ray.data
 
 from clangd_to_neo4j_ray.stages import dedup
 

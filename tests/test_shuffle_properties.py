@@ -5,8 +5,6 @@ custom components."""
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow as pa
-import pytest
 import ray.data
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
