@@ -56,6 +56,7 @@ for _name, _fn in [
     ("text_quality", _text.text_quality),
     ("text_langid", _text.text_langid),
     ("text_token_totals", _text.text_token_totals),
+    ("text_token_bpeish", _text.text_token_bpeish),
     ("text_fingerprint", _text.text_fingerprint),
 ]:
     register(_name, _fn, _text.ORACLE_SQL[_name])
@@ -72,6 +73,7 @@ for _name, _fn in [
     ("events_tumbling", _win.events_tumbling),
     ("events_sessions", _win.events_sessions),
     ("events_type_stats", _win.events_type_stats),
+    ("events_props_stats", _win.events_props_stats),
 ]:
     register(_name, _fn, _win.ORACLE_SQL[_name])
 

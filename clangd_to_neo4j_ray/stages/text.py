@@ -120,6 +120,39 @@ def text_token_totals(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_BPE_WORD = r"[a-z]+"
+_BPE_NUM = r"[0-9]+"
+_BPE_OTHER = r"[^a-z0-9 ]"
+
+
+def text_token_bpeish(sf_dir: str) -> ray.data.Dataset:
+    """Regex-class token counting (the BPE-ish tokenizer stand-in): counts
+    of word runs, digit runs, and other non-space symbols per document.
+
+    Output: (doc_id, n_words, n_nums, n_other)."""
+    import re
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    pats = [re.compile(p) for p in (_BPE_WORD, _BPE_NUM, _BPE_OTHER)]
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        cols = [
+            np.fromiter((len(p.findall(t)) for t in texts), dtype=np.int64)
+            for p in pats
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(cols[0]),
+                "n_nums": pa.array(cols[1]),
+                "n_other": pa.array(cols[2]),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
 def text_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Winnowing-style document fingerprint: min md5 over 5-token shingles.
 
@@ -182,6 +215,13 @@ SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(p.toks) AS BIGINT) AS n_tokens
 FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
 GROUP BY d.source, d.lang
+""",
+    "text_token_bpeish": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_WORD}')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{_BPE_NUM}')) AS BIGINT) AS n_nums,
+       CAST(len(regexp_extract_all(text, '{_BPE_OTHER}')) AS BIGINT) AS n_other
+FROM documents
 """,
     "text_fingerprint": f"""
 WITH {_SQL_TOK},

@@ -133,7 +133,48 @@ def events_type_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def events_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured payload parsing: the ``props`` column holds JSON
+    ('{"k": <int>}'); per event_type, count events and sum the extracted k.
+
+    Output: (event_type, n_events, sum_k) — two-phase aggregation with the
+    JSON parse vectorized per batch."""
+    import json
+
+    ds = _read_events(sf_dir, ["event_type", "props"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch["props"].to_pylist()),
+            dtype=np.int64,
+        )
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "k": pa.array(ks),
+            }
+        )
+        return (
+            t.group_by("event_type")
+            .aggregate([("n", "sum"), ("k", "sum")])
+            .rename_columns(["event_type", "n", "k"])
+        )
+
+    return grouped_sum(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": "n_events", "k": "sum_k"},
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_props_stats": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events GROUP BY event_type
+""",
     "events_tumbling": f"""
 SELECT user_id,
        (epoch_us(ts) // {TUMBLE_US}) * {TUMBLE_US} AS window_start_us,

@@ -16,10 +16,12 @@ NAMES = [
     "text_langid",
     "text_token_totals",
     "text_fingerprint",
+    "text_token_bpeish",
     "ann_brute_topk",
     "events_tumbling",
     "events_sessions",
     "events_type_stats",
+    "events_props_stats",
     "q1_pricing_summary",
     "q3_top_orders",
     "top_parts_by_revenue",
