@@ -92,6 +92,40 @@ from .pipelines.enrich import enrich_documents as _enrich_documents
 
 register("enrich_documents", _enrich_documents)  # no SQL oracle: T3/T4 stage
 
+
+def _pages_kg_flagship(sf_dir: str):
+    """Flagship pages pipeline end-to-end on a deterministic synthetic F1
+    corpus (rows-only check: html extraction + actor-pool linking +
+    context disambiguation are not SQL-expressible).  Returns the
+    canonicalized triple set; byte-identical-extract and P/R gates for this
+    path live in tests/test_pages_pipeline.py."""
+    import glob
+    import tempfile
+
+    import ray as _ray
+
+    from .pipelines.build_graph import build_graph_datasets
+    from .sources.fixtures import (
+        alias_lookup,
+        generate_pages,
+        make_entities,
+        write_pages_fixture,
+    )
+
+    corpus = "/tmp/kg_flagship_corpus_2000"
+    if not glob.glob(f"{corpus}/*.parquet"):
+        fx = generate_pages(2000)
+        write_pages_fixture(fx, corpus, num_files=8)
+    entities = make_entities()
+    lut = alias_lookup(entities)
+    names = {e.entity_id: e.canonical_name for e in entities}
+    pages = _ray.data.read_parquet(corpus)
+    triples, _m, _n, _e = build_graph_datasets(pages, lut, names)
+    return triples
+
+
+register("pages_kg_flagship", _pages_kg_flagship)  # rows-only
+
 # --- relational operator coverage (TPC-H-ish) ---
 from .stages import relational as _rel
 
