@@ -125,6 +125,11 @@ class EntityLinker:
                     k = len(alias_toks)
                     if i + k > n:
                         continue
+                    # a multi-token alias's FIRST token must carry no
+                    # trailing punctuation: 'New, York' must not match
+                    # 'New York' (the rstripped core is only a lookup key)
+                    if k > 1 and raw[lead:] != alias_toks[0]:
+                        continue
                     ok = True
                     # middle tokens must match exactly; last token may carry
                     # trailing punctuation (first may carry leading)

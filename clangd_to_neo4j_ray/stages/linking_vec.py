@@ -104,7 +104,9 @@ class VectorLinker(EntityLinker):
                 key_arr = core
                 valid = np.ones(n, dtype=bool)
             else:
-                parts = [core]
+                # first token of a k>1 alias: leading trim only — a trailing
+                # punctuation mark breaks the phrase ('New, York' != 'New York')
+                parts = [ltrimmed]
                 valid = np.ones(n, dtype=bool)
                 for j in range(1, k):
                     valid &= _shift_eq(sent_id, j)  # same sentence => same doc

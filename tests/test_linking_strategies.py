@@ -28,5 +28,22 @@ def test_token_scan_edge_punctuation():
         "It links to Gamma.",
         "Gamma! And Alpha Beta.",
         "AlphaX Beta and Gammas.",  # must NOT match
+        "Alpha, Beta and Gamma.",  # internal punct breaks the phrase
+        "Alpha. Beta near Gamma.",
+        "Alpha; Beta!",
+        'Alpha" Beta then "Alpha Beta".',  # broken then intact
     ]:
         assert tok.scan(text, 0) == rex.scan(text, 0), text
+
+
+def test_multi_token_alias_internal_punctuation_no_false_positive():
+    """'New, York' must NOT match alias 'New York' (ADVICE r1: the rstripped
+    first-token core is a lookup key only, not a match)."""
+    lut = {"New York": "e1"}
+    tok = EntityLinker(lut, strategy="token")
+    assert tok.scan("New, York is big.", 0) == []
+    assert tok.scan("New York is big.", 0) == [(0, 8, "New York")]
+    # matched span text must equal the alias exactly
+    text = "We saw New York today."
+    for s, e, a in tok.scan(text, 0):
+        assert text[s:e] == a

@@ -47,9 +47,24 @@ WORDS = st.sampled_from(
     [
         "Alpha", "Beta", "Alpha Beta", "Gamma", "The Alpha", "it", "It",
         "works", "for.", "x.", "links", "to", "(Gamma)", '"Alpha"',
-        "Alpha.", "The", "works for",
+        "Alpha.", "The", "works for", "Alpha,", "Alpha;", "The,", '"Alpha',
     ]
 )
+
+
+def test_vector_no_internal_punct_false_positive():
+    """'New, York' must not match 'New York' in the vectorized path either
+    (ADVICE r1: both scanners used the both-trimmed first-token key)."""
+    lut = {"New York": "e1", "York": "e2"}
+    batch = _batch(
+        ["u1", "u2"], ["New, York is big.", "New York is big."]
+    )
+    vc, vm = VectorLinker(lut)._tables(batch)
+    rc, rm = LinkScan(lut)._tables(batch)
+    assert vm.to_pydict() == rm.to_pydict()
+    # u1 matches only the single-token 'York'; u2 matches 'New York'
+    surf_by_url = list(zip(vm["url"].to_pylist(), vm["surface"].to_pylist()))
+    assert surf_by_url == [("u1", "York"), ("u2", "New York")]
 
 
 @given(
