@@ -50,7 +50,8 @@ def documents_as_pages(sf_dir: str) -> ray.data.Dataset:
                     [_EPOCH_US + i * 1_000_000 for i in ids],
                     type=pa.timestamp("us", tz="UTC"),
                 ),
-                "html": pa.array([None] * len(ids), type=pa.binary()),
+                # html omitted (docstring contract): extract passes rows
+                # without an html column straight through
                 "text": batch["text"],
                 "lang": batch["lang"],
             }

@@ -41,8 +41,23 @@ def extract_text_from_html(html: bytes) -> str:
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
-    """html -> text; drops the html column immediately (narrow blocks out)."""
-    texts = [extract_text_from_html(h) for h in batch["html"].to_pylist()]
+    """html -> text; drops the html column immediately (narrow blocks out).
+
+    A row with null html keeps its existing ``text`` (pre-extracted input,
+    e.g. the documents-table adapter) — null bytes must never crash the
+    stage (ADVICE r1)."""
+    if "html" not in batch.column_names:
+        return batch
+    htmls = batch["html"].to_pylist()
+    olds = (
+        batch["text"].to_pylist()
+        if "text" in batch.column_names
+        else [None] * len(htmls)
+    )
+    texts = [
+        extract_text_from_html(h) if h is not None else old
+        for h, old in zip(htmls, olds)
+    ]
     out = batch.drop_columns(["html"])
     if "text" in out.column_names:
         out = out.drop_columns(["text"])

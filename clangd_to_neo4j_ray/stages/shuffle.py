@@ -34,6 +34,56 @@ import ray.data
 DEFAULT_BUCKETS = 32
 _SEP = "\x1f"
 
+# FNV-like odd prime: odd => invertible mod 2^64, so position weights can be
+# normalized per string with a single vectorized multiply.
+_P = 1099511628211
+_P_INV = pow(_P, -1, 1 << 64)
+
+
+def _stable_hash64(arr) -> "np.ndarray":
+    """Version-stable vectorized 64-bit hash of a string array.
+
+    Polynomial hash over the raw UTF-8 buffer (sum of byte * P^pos mod 2^64,
+    normalized to string-relative positions via the modular inverse of P),
+    finished with a splitmix64 mix.  Pure numpy over the Arrow offsets/data
+    buffers — no per-row Python, and unlike ``polars .hash`` the value is a
+    pinned algorithm, identical on every worker regardless of library build
+    (ADVICE r1: bucket splits across versions are silent wrong answers)."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    rel = offs - lo
+    length = hi - lo
+    with np.errstate(over="ignore"):
+        pw = np.full(length, _P, dtype=np.uint64)
+        if length:
+            pw[0] = 1
+        pw = np.multiply.accumulate(pw)
+        contrib = data[lo:hi].astype(np.uint64) * pw
+        cs = np.concatenate(([np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)))
+        raw = cs[rel[1:]] - cs[rel[:-1]]
+        # normalize weights to string-relative positions
+        ip = np.full(max(length, 1) + 1, _P_INV, dtype=np.uint64)
+        ip[0] = 1
+        ipw = np.multiply.accumulate(ip)
+        h = raw * ipw[rel[:-1]]
+        # mix in length, then splitmix64 finalize
+        h ^= np.diff(offs).astype(np.uint64)
+        h += np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
 
 def _compat(tbl: pa.Table) -> pa.Table:
     """polars emits large_string/large_list; cast back to the standard Arrow
@@ -53,21 +103,18 @@ def _compat(tbl: pa.Table) -> pa.Table:
 
 
 def _add_bucket_arrow(keys: list[str], num_buckets: int):
-    """Deterministic vectorized bucket column (polars xxhash on the
-    separator-joined key string; stable across processes for one polars
-    build — every worker in a cluster runs the same image)."""
+    """Deterministic vectorized bucket column: pinned 64-bit hash of the
+    separator-joined key string — identical on every worker by algorithm,
+    not by library-version luck."""
+    import pyarrow.compute as pc
 
     def f(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        h = df.select(
-            pl.concat_str(
-                [pl.col(k).cast(pl.Utf8) for k in keys], separator=_SEP
-            )
-            .hash(seed=0)
-            .alias("h")
-        )["h"]
-        out = df.with_columns((h % num_buckets).cast(pl.Int64).alias("__bucket"))
-        return _compat(out.to_arrow())
+        parts = [pc.cast(batch[k], pa.string()) for k in keys]
+        joined = pc.binary_join_element_wise(
+            *parts, _SEP, null_handling="replace", null_replacement="\x00"
+        )
+        bucket = (_stable_hash64(joined) % num_buckets).astype("int64")
+        return batch.append_column("__bucket", pa.array(bucket, type=pa.int64()))
 
     return f
 

@@ -12,8 +12,8 @@ graph-resident commit stamp (``clangd_graph_rag_builder.py:112-122``):
 - a stage run skips partitions whose fingerprint matches (resume), and
   recomputes exactly the dirty ones (incremental update, §3.2 analog).
 
-Fingerprints are content-derived (size + head-bytes md5 + row count), never
-wall-clock — mtime is what made the reference's cache validation fragile.
+Fingerprints are content-derived (full-file md5), never wall-clock — mtime
+is what made the reference's cache validation fragile.
 """
 
 from __future__ import annotations
@@ -30,18 +30,17 @@ import ray.data
 
 
 def fingerprint_file(path: str) -> str:
-    """Content fingerprint of one Parquet partition."""
-    import pyarrow.parquet as pq
+    """Full-content fingerprint of one Parquet partition.
 
+    Hashing the whole file is cheap relative to recomputing the stage and
+    closes the hole where a change past the first 64 KiB with unchanged size
+    and row count was classified clean (ADVICE r1)."""
     st = os.stat(path)
     h = hashlib.md5()
     h.update(str(st.st_size).encode())
     with open(path, "rb") as f:
-        h.update(f.read(65536))
-    try:
-        h.update(str(pq.ParquetFile(path).metadata.num_rows).encode())
-    except Exception:
-        pass
+        while chunk := f.read(1 << 20):
+            h.update(chunk)
     return h.hexdigest()
 
 

@@ -37,6 +37,18 @@ def test_extract_byte_identical(fixture):
     assert got == expected  # byte-identical per url
 
 
+def test_documents_adapter_routes_through_extract():
+    """documents_as_pages output (no html column) must pass unchanged
+    through the extract stage (ADVICE r1: the all-null html column crashed
+    the documented smoke-run path)."""
+    from clangd_to_neo4j_ray.sources.pages import documents_as_pages
+
+    ds = documents_as_pages("/root/testdata/sf0.001")
+    out = extract_stage(ds).take(5)
+    assert all(r["text"] for r in out)
+    assert all(r["url"].startswith("https://") for r in out)
+
+
 def test_mention_spans_match_planted(fixture):
     fx, path = fixture
     from clangd_to_neo4j_ray.stages.linking import mention_stage
@@ -107,6 +119,73 @@ def test_build_graph_materialize(fixture, tmp_path):
     csvs = os.listdir(os.path.join(out, "neo4j"))
     assert any(c.startswith("nodes_PAGE") for c in csvs)
     assert any(c.startswith("edges_CONTAINS") for c in csvs)
-    with open(os.path.join(out, "neo4j", sorted(csvs)[0])) as f:
+    # per-label dir: header.csv + headerless sorted part files
+    page_dir = os.path.join(out, "neo4j", "nodes_PAGE")
+    with open(os.path.join(page_dir, "header.csv")) as f:
         header = f.readline()
-    assert ":ID" in header or ":START_ID" in header
+    assert ":ID" in header and ":LABEL" in header
+    parts = [p for p in os.listdir(page_dir) if p.startswith("part-")]
+    assert parts
+
+
+def test_build_graph_rerun_same_outdir(fixture, tmp_path):
+    """Re-running into the SAME --out must not accumulate stale part files
+    (ADVICE r1: write_parquet appends by default)."""
+    fx, path = fixture
+    out = str(tmp_path / "graph")
+    m1 = build_graph(path, fx.entities, out)
+    m2 = build_graph(path, fx.entities, out)
+    assert (
+        m2["stages"]["write_nodes"]["rows"]
+        == m1["stages"]["write_nodes"]["rows"]
+    )
+    assert (
+        m2["stages"]["write_edges"]["rows"]
+        == m1["stages"]["write_edges"]["rows"]
+    )
+    v = validate_graph(out)
+    assert v["duplicate_node_ids"] == 0 and v["dangling_edges"] == 0
+
+
+def test_csv_sink_streams_multipart(tmp_path):
+    """The bulk-CSV sink must never concatenate a label partition: a
+    many-block hot label comes out as MULTIPLE sorted part files whose
+    union is exactly the input."""
+    import os
+
+    import pyarrow as pa
+
+    from clangd_to_neo4j_ray.stages.materialize import write_neo4j_bulk_csv
+
+    n = 5000
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "node_id": [f"n{i:05d}" for i in range(n)],
+                "label": ["PAGE"] * (n - 5) + ["SITE"] * 5,
+                "name": [f"name{i}" for i in range(n)],
+            }
+        )
+    ).repartition(16)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": [f"n{i:05d}" for i in range(n - 1)],
+                "type": ["LINKS"] * (n - 1),
+                "dst": [f"n{i + 1:05d}" for i in range(n - 1)],
+            }
+        )
+    ).repartition(16)
+    csv_dir = str(tmp_path / "neo4j")
+    written = write_neo4j_bulk_csv(nodes, edges, csv_dir)
+    page_parts = [p for p in written if "/nodes_PAGE/" in p]
+    assert len(page_parts) > 1, "hot label must stream as multiple parts"
+    rows = []
+    for p in page_parts:
+        with open(p) as f:
+            rows += [line.split(",")[0].strip('"') for line in f if line.strip()]
+    assert sorted(rows) == [f"n{i:05d}" for i in range(n - 5)]
+    # each part is internally sorted (distributed sort upstream)
+    with open(sorted(page_parts)[0]) as f:
+        ids = [line.split(",")[0] for line in f]
+    assert ids == sorted(ids)

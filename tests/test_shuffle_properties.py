@@ -80,6 +80,37 @@ def test_distinct_matches_pandas(rows, buckets):
     assert len(got) == len(got_set)  # no duplicates survive
 
 
+def test_stable_hash_pinned_values():
+    """Bucket assignment must be a PINNED algorithm, not a library hash:
+    these exact values must never change across dependency upgrades
+    (ADVICE r1: polars .hash is not stable across builds — split key groups
+    would be a silent wrong answer)."""
+    import pyarrow as pa
+
+    from clangd_to_neo4j_ray.stages.shuffle import _stable_hash64
+
+    got = [int(x) for x in _stable_hash64(pa.array(["", "a", "ab", "New York"]))]
+    assert got == [
+        0xE220A8397B1DCDAF,
+        0x6232969000262121,
+        0xAD7472F224702FA9,
+        0x0759C03E2C85D9BE,
+    ], [hex(x) for x in got]
+
+
+def test_stable_hash_slice_and_chunk_invariant():
+    import pyarrow as pa
+
+    from clangd_to_neo4j_ray.stages.shuffle import _stable_hash64
+
+    strs = ["", "a", "ab", "abc", "key\x1f42", "New York", "x" * 100]
+    arr = pa.array(strs, type=pa.string())
+    full = list(_stable_hash64(arr))
+    assert list(_stable_hash64(arr.slice(2, 4))) == full[2:6]
+    chunked = pa.chunked_array([arr.slice(0, 3), arr.slice(3)])
+    assert list(_stable_hash64(chunked)) == full
+
+
 WORDS = st.sampled_from(
     ["Alpha", "Beta", "Alpha Beta", "Gamma", "it", "works", "for", "x9", "The Alpha"]
 )
