@@ -250,10 +250,19 @@ def distinct(
     *,
     num_buckets: int = DEFAULT_BUCKETS,
 ) -> ray.data.Dataset:
-    """Bucketed exact distinct on the key columns (D2/D3 analog)."""
+    """Bucketed exact distinct on the key columns (D2/D3 analog).
+
+    Per-batch pre-dedup (combiner) first, so a fact-key column shrinks to
+    its per-block distinct set before the exchange."""
+
+    def pre_dedup(batch: pa.Table) -> pa.Table:
+        return _compat(
+            pl.from_arrow(batch).select(keys).unique(maintain_order=False).to_arrow()
+        )
 
     def per_bucket(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch).drop("__bucket")
         return _compat(df.select(keys).unique(maintain_order=False).to_arrow())
 
-    return _bucketed_polars(ds, keys, per_bucket, num_buckets)
+    pre = ds.map_batches(pre_dedup, batch_format="pyarrow")
+    return _bucketed_polars(pre, keys, per_bucket, num_buckets)
