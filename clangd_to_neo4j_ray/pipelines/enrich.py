@@ -126,10 +126,12 @@ def project_summary(domain_summaries: ray.data.Dataset) -> dict:
 
 
 def enrich_documents(sf_dir: str) -> ray.data.Dataset:
-    """Driver-facing enrichment over the documents table (rows-only check:
-    model-driven stage, not SQL-expressible).
+    """Driver-facing enrichment over the documents table.
 
-    Output: (doc_id, summary, emb_norm_int) — deterministic."""
+    Output: (doc_id, summary, emb_norm_int) — deterministic, and fully
+    oracle-checked: the fake summarizer is md5-based so the summary string
+    is DuckDB-expressible (ORACLE_SQL below), and the embedder normalizes,
+    so emb_norm_int == 1000 is a checked invariant."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     class DocSummarizer:
@@ -159,3 +161,16 @@ def enrich_documents(sf_dir: str) -> ray.data.Dataset:
         batch_size=1024,
         concurrency=default_pool_size(),
     )
+
+
+# The md5-based fake client makes the model stage SQL-checkable (closes the
+# round-1 no_oracle row for enrich_documents).
+ORACLE_SQL: dict[str, str] = {
+    "enrich_documents": """
+SELECT doc_id,
+       'summary[doc:' || doc_id || ']: ' || length(text) || ' chars ('
+         || substr(md5(text), 1, 8) || ')' AS summary,
+       CAST(1000 AS BIGINT) AS emb_norm_int
+FROM documents
+""",
+}

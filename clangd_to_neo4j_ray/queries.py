@@ -65,6 +65,7 @@ for _name, _fn in [
 from .stages import similarity as _sim
 
 register("ann_brute_topk", _sim.ann_brute_topk, _sim.ORACLE_SQL["ann_brute_topk"])
+register("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ORACLE_SQL["ann_lsh_topk"])
 
 # --- event windows / sessions ---
 from .stages import windows as _win
@@ -87,10 +88,14 @@ register(
     "kg_head_entities", _galgo.kg_head_entities, _galgo.ORACLE_SQL["kg_head_entities"]
 )
 
-# --- enrichment (model-driven, deterministic fake client; rows-only check) ---
-from .pipelines.enrich import enrich_documents as _enrich_documents
+# --- enrichment (model-driven; md5-based fake client is SQL-checkable) ---
+from .pipelines import enrich as _enrich
 
-register("enrich_documents", _enrich_documents)  # no SQL oracle: T3/T4 stage
+register(
+    "enrich_documents",
+    _enrich.enrich_documents,
+    _enrich.ORACLE_SQL["enrich_documents"],
+)
 
 
 def _pages_kg_flagship(sf_dir: str):

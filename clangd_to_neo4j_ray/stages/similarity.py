@@ -100,52 +100,123 @@ def ann_brute_topk(sf_dir: str) -> ray.data.Dataset:
     return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
 
 
-def ann_lsh_topk(sf_dir: str, n_planes: int = LSH_PLANES) -> pd.DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucketing, exact search only
-    within each query's bucket.  Deterministic planes (seeded).  Returns a
-    pandas DataFrame (qid, nid, cos, bucket) — the scale path demonstrator;
-    accuracy measured against ann_brute_topk in tests."""
-    qids, qm = _query_matrix(sf_dir)
-    # deterministic hyperplanes from a fixed seed and the embedding dim
+def _lsh_planes(dim: int, n_planes: int = LSH_PLANES) -> np.ndarray:
+    """Deterministic hyperplanes (seeded; also embedded literally in the
+    DuckDB oracle so the bucketing is SQL-reproducible)."""
     rng = np.random.RandomState(7)
-    planes = rng.standard_normal((qm.shape[1], n_planes))
-    planes_ref = ray.put(planes)
+    return rng.standard_normal((dim, n_planes))
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        p = ray.get(planes_ref)
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes) > 0
+    return signs.astype(np.int64) @ (1 << np.arange(planes.shape[1], dtype=np.int64))
+
+
+class LshScorer:
+    """Actor-pool stage for the scale ANN path: per batch, bucket every row
+    by hyperplane signs and score it ONLY against queries sharing its
+    bucket — per-batch partial top-k, never a whole bucket in one task."""
+
+    def __init__(self, query_ref):
+        qids, qm, planes = (
+            ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        )
+        self.qids = qids
+        self.qm = qm
+        self.qnorm = np.linalg.norm(qm, axis=1)
+        self.planes = planes
+        self.q_buckets = _bucket_of(qm, planes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         m = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
-        signs = (m @ p) > 0  # (B, planes)
-        bucket = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
-        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
-
-    ds = _read_embeddings(sf_dir).map_batches(bucketize, batch_format="pyarrow")
-    q_signs = (qm @ planes) > 0
-    q_buckets = (q_signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
-
-    def search(g: pd.DataFrame) -> pd.DataFrame:
-        b = int(g["bucket"].iloc[0])
-        sel = np.nonzero(q_buckets == b)[0]
-        if len(sel) == 0:
-            return pd.DataFrame(
-                {"qid": pd.Series([], dtype="int64"),
-                 "nid": pd.Series([], dtype="int64"),
-                 "cos": pd.Series([], dtype="float64"),
-                 "bucket": pd.Series([], dtype="int64")}
-            )
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        buckets = _bucket_of(m, self.planes)
         norms = np.linalg.norm(m, axis=1)
-        out = []
-        for qi in sel:
-            sims = round_half_away((qm[qi] @ m.T) / (np.linalg.norm(qm[qi]) * norms), COS_DECIMALS)
-            mask = ids != qids[qi]
-            order = np.lexsort((ids[mask], -sims[mask]))[:TOP_K]
-            take = np.nonzero(mask)[0][order]
-            for t in take:
-                out.append((int(qids[qi]), int(ids[t]), float(sims[t]), b))
-        return pd.DataFrame(out, columns=["qid", "nid", "cos", "bucket"])
+        q_out, n_out, c_out, b_out = [], [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = (buckets == self.q_buckets[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            sims = round_half_away(
+                (self.qm[qi] @ m[mask].T) / (self.qnorm[qi] * norms[mask]),
+                COS_DECIMALS,
+            )
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -sims))[:TOP_K]
+            q_out.extend([int(qid)] * len(order))
+            n_out.extend(sub_ids[order].tolist())
+            c_out.extend(sims[order].tolist())
+            b_out.extend([int(self.q_buckets[qi])] * len(order))
+        return pa.table(
+            {
+                "qid": pa.array(q_out, type=pa.int64()),
+                "nid": pa.array(n_out, type=pa.int64()),
+                "cos": pa.array(c_out, type=pa.float64()),
+                "bucket": pa.array(b_out, type=pa.int64()),
+            }
+        )
 
-    return ds.groupby("bucket").map_groups(search, batch_format="pandas").to_pandas()
+
+def ann_lsh_topk(sf_dir: str, n_planes: int = LSH_PLANES) -> ray.data.Dataset:
+    """Approximate top-k: random-hyperplane LSH bucketing, exact scoring
+    only within each query's bucket.  Output: (qid, nid, cos, bucket),
+    ranking (cos desc, nid asc), top-10 per query.
+
+    The scale path vs ``ann_brute_topk``: each batch scores only the ~1/2^P
+    of its rows that share a query's bucket, as a streaming partial top-k
+    (an IVF-style candidate pruning; recall measured vs brute in tests)."""
+    qids, qm = _query_matrix(sf_dir)
+    planes = _lsh_planes(qm.shape[1], n_planes)
+    ref = ray.put((qids, qm, planes))
+    partials = _read_embeddings(sf_dir).map_batches(
+        LshScorer,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "nid"], ascending=[False, True]).head(TOP_K)
+        return g[["qid", "nid", "cos", "bucket"]]
+
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = LSH_PLANES) -> str:
+    """DuckDB oracle for ann_lsh_topk: the seeded hyperplanes are embedded
+    as exact float64 literals, so bucket assignment and within-bucket
+    cosine ranking are fully SQL-reproducible."""
+    planes = _lsh_planes(dim, n_planes)
+    rows = ",\n    ".join(
+        f"({j}, [{', '.join(repr(float(v)) for v in planes[:, j])}]::DOUBLE[])"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH planes(j, p) AS (VALUES
+    {rows}
+),
+b AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.p) > 0
+                       THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id
+),
+q AS (SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qe, b.bucket AS qb
+      FROM embeddings e JOIN b ON b.vec_id = e.vec_id
+      WHERE e.vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])),
+               {COS_DECIMALS}) AS cos,
+         q.qb AS bucket
+  FROM q JOIN b ON b.bucket = q.qb JOIN embeddings e ON e.vec_id = b.vec_id
+  WHERE e.vec_id != q.qid
+)
+SELECT qid, nid, cos, bucket FROM s
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= {TOP_K}
+"""
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -163,3 +234,4 @@ SELECT qid, nid, cos FROM s
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= {TOP_K}
 """,
 }
+ORACLE_SQL["ann_lsh_topk"] = _lsh_oracle_sql()

@@ -18,6 +18,8 @@ NAMES = [
     "text_fingerprint",
     "text_token_bpeish",
     "ann_brute_topk",
+    "ann_lsh_topk",
+    "enrich_documents",
     "events_tumbling",
     "events_sessions",
     "events_type_stats",
@@ -45,7 +47,7 @@ def test_ann_lsh_recall(sf_dir):
     from clangd_to_neo4j_ray.stages.similarity import ann_brute_topk, ann_lsh_topk
 
     exact = ann_brute_topk(sf_dir).to_pandas()
-    approx = ann_lsh_topk(sf_dir)
+    approx = ann_lsh_topk(sf_dir).to_pandas()
     assert set(approx.columns) == {"qid", "nid", "cos", "bucket"}
     # every (qid, nid) pair the LSH path scores must carry the same cosine
     merged = approx.merge(exact, on=["qid", "nid"], suffixes=("_a", "_e"))
