@@ -85,26 +85,31 @@ def run_core() -> dict:
     import ray
 
     from clangd_to_neo4j_ray.sources.fixtures import alias_lookup, make_entities
-    from clangd_to_neo4j_ray.stages.canonicalize import canonicalize_triples
-    from clangd_to_neo4j_ray.stages.extract import extract_stage
-    from clangd_to_neo4j_ray.stages.linking import link_stage
+    from clangd_to_neo4j_ray.stages.canonicalize import merge_partial_triples
+    from clangd_to_neo4j_ray.stages.linking import fused_link_partial_stage
 
     pages_dir = ensure_pages_corpus()
     lut = alias_lookup(make_entities())
     ray.data.read_parquet(pages_dir).count()  # warm page cache
 
-    # ~3/4 of the CPUs for the linking pool; the remainder feeds extract +
-    # the canonicalization shuffle + the hash-shuffle aggregator actors.
-    # Small batches (1024) keep the pool load-balanced (measured 1.4x over
-    # 4096 at pool 28).  See BASELINE.md for the measured scaling analysis
-    # (single-box memory-bandwidth ceiling above ~16 cores).
-    pool = max(1, NUM_CPUS * 3 // 4)
+    # Fused composition: extract + link + per-batch partial dedup run as ONE
+    # actor call; only pre-aggregated partials reach the single bucketed
+    # exchange.  Pool sizing HALF the CPUs: measured (r2) that the old 3/4
+    # heuristic oversubscribed the box (pool actors + read tasks + shuffle
+    # aggregators + raylet > vCPUs), halving in-actor kernel speed via
+    # context switching — pool=8/32cpus ran the kernel at full speed while
+    # pool=24/32cpus ran it at 45%.  The round-1 "memory bandwidth ceiling"
+    # was THIS: the pure kernel scales linearly to 24 concurrent processes
+    # (82.7k pages/s total, per-proc within 8% of solo) when nothing else
+    # wants the CPUs.
+    pool = max(1, NUM_CPUS // 2)
+    strategy = os.environ.get("BENCH_STRATEGY")  # None -> linking default
     t0 = time.perf_counter()
     pages = ray.data.read_parquet(pages_dir)
-    candidates = link_stage(
-        extract_stage(pages), ray.put(lut), concurrency=pool, batch_size=1024
+    partials = fused_link_partial_stage(
+        pages, ray.put(lut), concurrency=pool, batch_size=1024, strategy=strategy
     )
-    n_triples = canonicalize_triples(candidates).count()
+    n_triples = merge_partial_triples(partials).count()
     wall = time.perf_counter() - t0
     return {
         "headline_sec": round(wall, 3),

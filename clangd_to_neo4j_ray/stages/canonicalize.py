@@ -78,11 +78,25 @@ def dead_letter_stats(candidates: ray.data.Dataset) -> pa.Table:
 def merge_partial_triples(partials: ray.data.Dataset) -> ray.data.Dataset:
     """Final merge for pre-partialed (subj, pred, obj, evidence_url, n) rows
     (e.g. from FusedExtractLinkPartial): one bucketed low-cardinality
-    exchange."""
+    exchange.
+
+    A second-level combine over LARGE (64k) re-batches runs first: the
+    fused stage's partials are per-1k-page batches, so re-combining across
+    ~60 of them shrinks the exchange several-fold for near-free (task-
+    parallel, no shuffle)."""
     from .shuffle import grouped_agg
 
+    def recombine(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["subj", "pred", "obj"]).aggregate(
+            [("evidence_url", "min"), ("n", "sum")]
+        )
+        return out.rename_columns(["subj", "pred", "obj", "evidence_url", "n"])
+
+    combined = partials.map_batches(
+        recombine, batch_format="pyarrow", batch_size=65536
+    )
     return grouped_agg(
-        partials,
+        combined,
         ["subj", "pred", "obj"],
         {
             "evidence_url": ("evidence_url", "min"),

@@ -76,6 +76,60 @@ def build_token_index(aliases) -> dict[str, list[tuple[list[str], str]]]:
     return idx
 
 
+def _assemble(triples: list, mentions: list):
+    """Row tuples -> (candidate table, mention table), one zip transpose
+    per table (no per-field append loops)."""
+    if triples:
+        subj, pred, obj, eurl, s_arr, e_arr = zip(*triples)
+    else:
+        subj = pred = obj = eurl = s_arr = e_arr = ()
+    cand_tbl = pa.table(
+        {
+            "subj": pa.array(subj, type=pa.string()),
+            "pred": pa.array(pred, type=pa.string()),
+            "obj": pa.array(obj, type=pa.string()),
+            "evidence_url": pa.array(eurl, type=pa.string()),
+            "evidence_start": pa.array(s_arr, type=pa.int32()),
+            "evidence_end": pa.array(e_arr, type=pa.int32()),
+        }
+    )
+    if mentions:
+        m_url, m_eid, m_surf, m_s, m_e, m_anch = zip(*mentions)
+    else:
+        m_url = m_eid = m_surf = m_s = m_e = m_anch = ()
+    ment_tbl = pa.table(
+        {
+            "url": pa.array(m_url, type=pa.string()),
+            "entity_id": pa.array(m_eid, type=pa.string()),
+            "surface": pa.array(m_surf, type=pa.string()),
+            "start": pa.array(m_s, type=pa.int32()),
+            "end": pa.array(m_e, type=pa.int32()),
+            "anchored": pa.array(m_anch, type=pa.bool_()),
+        }
+    )
+    return cand_tbl, ment_tbl
+
+
+_TAG_COLUMNS = [
+    "kind", "subj", "pred", "obj", "evidence_url",
+    "url", "entity_id", "surface", "start", "end", "anchored",
+]
+
+
+def _tag_union(cand: pa.Table, ment: pa.Table) -> pa.Table:
+    """Arrow-native tagged union of candidate and mention rows: concat with
+    column promotion null-pads the missing side — no ``to_pylist`` round
+    trip (the old ``pad`` helper was ~30% of the whole scan stage)."""
+    c = cand.select(["subj", "pred", "obj", "evidence_url"]).append_column(
+        "kind", pa.array(["triple"] * cand.num_rows, type=pa.string())
+    )
+    m = ment.append_column(
+        "kind", pa.array(["mention"] * ment.num_rows, type=pa.string())
+    )
+    out = pa.concat_tables([c, m], promote_options="default")
+    return out.select(_TAG_COLUMNS)
+
+
 class EntityLinker:
     """Actor-pool stage: text -> (mentions, candidate triples) per batch.
 
@@ -156,14 +210,14 @@ class EntityLinker:
 
     # -- per-document link pass: one scan, both outputs --
 
-    def link_text(self, url: str, text: str):
+    def link_text(self, url: str, text: str, want_mentions: bool = True):
         """Returns (mention_rows, triple_rows) for one document."""
         sentence_founds = []
         offset = 0
         for sent in _SENTENCE_SPLIT.split(text):
             sentence_founds.append((offset, self.scan(sent, offset)))
             offset += len(sent) + 1  # +1 for the split space
-        return self.doc_relations(url, text, sentence_founds)
+        return self.doc_relations(url, text, sentence_founds, want_mentions)
 
     def resolve(self, alias: str, doc_eids: set[str]) -> str:
         """Dictionary + context-scored entity resolution.
@@ -182,12 +236,14 @@ class EntityLinker:
                 return eid
         return v[0][0]
 
-    def doc_relations(self, url: str, text: str, sentence_founds):
+    def doc_relations(self, url: str, text: str, sentence_founds, want_mentions=True):
         """Shared relation logic given per-sentence mention spans.
 
         ``sentence_founds``: [(sent_start_char, [(start, end, alias), ...])]
         in document order.  Spans are absolute char offsets into ``text``.
-        Sentences without mentions may be omitted (they affect nothing)."""
+        Sentences without mentions may be omitted (they affect nothing).
+        ``want_mentions=False`` skips mention-row assembly (the
+        candidates-only hot path: mention rows are ~10x the triple rows)."""
         # pass 1: page-context entity set from unambiguous mentions
         doc_eids = {
             v
@@ -220,57 +276,25 @@ class EntityLinker:
                     else:
                         # dead-letter: unresolvable context (drop-vs-error)
                         triples.append((None, DEAD_LETTER, obj, url, s1, e1))
-            for k, (s, e, a) in enumerate(found):
-                mentions.append(
-                    (url, self.resolve(a, doc_eids), a, s, e, k == anchored_idx)
-                )
+            if want_mentions:
+                for k, (s, e, a) in enumerate(found):
+                    mentions.append(
+                        (url, self.resolve(a, doc_eids), a, s, e, k == anchored_idx)
+                    )
         return mentions, triples
 
-    def _tables(self, batch: pa.Table):
+    def _tables(self, batch: pa.Table, want_mentions: bool = True):
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
-        m_rows = {k: [] for k in ("url", "entity_id", "surface", "start", "end", "anchored")}
-        subj, pred, obj, eurl, s_arr, e_arr = [], [], [], [], [], []
+        all_m, all_t = [], []
         for url, text in zip(urls, texts):
-            mentions, triples = self.link_text(url, text)
-            for t in triples:
-                subj.append(t[0])
-                pred.append(t[1])
-                obj.append(t[2])
-                eurl.append(t[3])
-                s_arr.append(t[4])
-                e_arr.append(t[5])
-            for (u, eid, surf, s, e, anch) in mentions:
-                m_rows["url"].append(u)
-                m_rows["entity_id"].append(eid)
-                m_rows["surface"].append(surf)
-                m_rows["start"].append(s)
-                m_rows["end"].append(e)
-                m_rows["anchored"].append(anch)
-        cand_tbl = pa.table(
-            {
-                "subj": pa.array(subj, type=pa.string()),
-                "pred": pa.array(pred, type=pa.string()),
-                "obj": pa.array(obj, type=pa.string()),
-                "evidence_url": pa.array(eurl, type=pa.string()),
-                "evidence_start": pa.array(s_arr, type=pa.int32()),
-                "evidence_end": pa.array(e_arr, type=pa.int32()),
-            }
-        )
-        ment_tbl = pa.table(
-            {
-                "url": pa.array(m_rows["url"], type=pa.string()),
-                "entity_id": pa.array(m_rows["entity_id"], type=pa.string()),
-                "surface": pa.array(m_rows["surface"], type=pa.string()),
-                "start": pa.array(m_rows["start"], type=pa.int32()),
-                "end": pa.array(m_rows["end"], type=pa.int32()),
-                "anchored": pa.array(m_rows["anchored"], type=pa.bool_()),
-            }
-        )
-        return cand_tbl, ment_tbl
+            mentions, triples = self.link_text(url, text, want_mentions)
+            all_t.extend(triples)
+            all_m.extend(mentions)
+        return _assemble(all_t, all_m)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cand_tbl, _ = self._tables(batch)
+        cand_tbl, _ = self._tables(batch, want_mentions=False)
         return cand_tbl
 
 
@@ -289,30 +313,7 @@ class LinkScan(EntityLinker):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cand, ment = self._tables(batch)
-        n_c, n_m = len(cand), len(ment)
-
-        def pad(col, before: int, after: int, typ):
-            return pa.array(
-                [None] * before + col.to_pylist() + [None] * after, type=typ
-            )
-
-        return pa.table(
-            {
-                "kind": pa.array(
-                    ["triple"] * n_c + ["mention"] * n_m, type=pa.string()
-                ),
-                "subj": pad(cand["subj"], 0, n_m, pa.string()),
-                "pred": pad(cand["pred"], 0, n_m, pa.string()),
-                "obj": pad(cand["obj"], 0, n_m, pa.string()),
-                "evidence_url": pad(cand["evidence_url"], 0, n_m, pa.string()),
-                "url": pad(ment["url"], n_c, 0, pa.string()),
-                "entity_id": pad(ment["entity_id"], n_c, 0, pa.string()),
-                "surface": pad(ment["surface"], n_c, 0, pa.string()),
-                "start": pad(ment["start"], n_c, 0, pa.int32()),
-                "end": pad(ment["end"], n_c, 0, pa.int32()),
-                "anchored": pad(ment["anchored"], n_c, 0, pa.bool_()),
-            }
-        )
+        return _tag_union(cand, ment)
 
 
 class FusedExtractLinkPartial(EntityLinker):
@@ -329,7 +330,8 @@ class FusedExtractLinkPartial(EntityLinker):
 
         if "html" in batch.column_names:
             batch = extract_batch(batch)
-        cand, _ = self._tables(batch)
+        cand, _ = self._tables(batch, want_mentions=False)
+        cand = cand.filter(pa.compute.not_equal(cand["pred"], DEAD_LETTER))
         out = cand.select(["subj", "pred", "obj", "evidence_url"])
         return (
             out.group_by(["subj", "pred", "obj"])
@@ -338,9 +340,32 @@ class FusedExtractLinkPartial(EntityLinker):
         )
 
 
+# Default scan strategy for the pool stages.  "token" and "vector" are
+# byte-identical (tests/test_linking_vec.py); the choice is a performance
+# policy — overridable per call or via LINK_STRATEGY (the --source-parser
+# strategy-flag analog, ``input_params.py:37-42``).
+import os as _os
+
+DEFAULT_STRATEGY = _os.environ.get("LINK_STRATEGY", "token")
+
+
+def _resolve_cls(cls, strategy: str):
+    if strategy != "vector":
+        return cls
+    from . import linking_vec as lv
+
+    return {
+        "EntityLinker": lv.VectorLinker,
+        "MentionScanner": lv.VectorMentionScanner,
+        "LinkScan": lv.VectorLinkScan,
+        "FusedExtractLinkPartial": lv.VectorFusedExtractLinkPartial,
+    }[cls.__name__]
+
+
 def _pool_stage(cls, extracted, alias_ref, concurrency, batch_size, strategy):
+    strategy = strategy or DEFAULT_STRATEGY
     return extracted.select_columns(["url", "text"]).map_batches(
-        cls,
+        _resolve_cls(cls, strategy),
         fn_constructor_args=(alias_ref, strategy),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -354,7 +379,7 @@ def link_stage(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
-    strategy: str = "token",
+    strategy: str | None = None,
 ) -> ray.data.Dataset:
     """extracted(url, text) -> candidate triples (actor pool)."""
     return _pool_stage(EntityLinker, extracted, alias_ref, concurrency, batch_size, strategy)
@@ -366,7 +391,7 @@ def mention_stage(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
-    strategy: str = "token",
+    strategy: str | None = None,
 ) -> ray.data.Dataset:
     return _pool_stage(MentionScanner, extracted, alias_ref, concurrency, batch_size, strategy)
 
@@ -377,10 +402,34 @@ def link_scan_stage(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
-    strategy: str = "token",
+    strategy: str | None = None,
 ) -> ray.data.Dataset:
     """One-pass combined stage (preferred in full builds)."""
     return _pool_stage(LinkScan, extracted, alias_ref, concurrency, batch_size, strategy)
+
+
+def fused_link_partial_stage(
+    pages: ray.data.Dataset,
+    alias_ref,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    strategy: str | None = None,
+) -> ray.data.Dataset:
+    """pages(url, html|text) -> per-batch partial triples
+    (subj, pred, obj, evidence_url, n) — extract + link + partial dedup
+    fused in ONE actor call (dead letters dropped).  Compose with
+    ``canonicalize.merge_partial_triples`` for the canonical triple set:
+    the exchange then moves pre-aggregated partials, not candidate rows."""
+    strategy = strategy or DEFAULT_STRATEGY
+    cols = [c for c in ("url", "html", "text") if c in pages.schema().names]
+    return pages.select_columns(cols).map_batches(
+        _resolve_cls(FusedExtractLinkPartial, strategy),
+        fn_constructor_args=(alias_ref, strategy),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_pool_size(),
+    )
 
 
 def split_link_scan(tagged: ray.data.Dataset):

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .linking import _EDGE_PUNCT, EntityLinker
+from .linking import _EDGE_PUNCT, EntityLinker, _assemble, _tag_union
 
 
 def _build_ngram_sets(aliases):
@@ -168,47 +168,20 @@ class VectorLinker(EntityLinker):
         ]
         return urls, texts, out
 
-    def _tables(self, batch: pa.Table):
+    def _tables(self, batch: pa.Table, want_mentions: bool = True):
         urls, texts, per_doc = self.scan_batch(batch)
-        m_rows = {k: [] for k in ("url", "entity_id", "surface", "start", "end", "anchored")}
-        subj, pred, obj, eurl, s_arr, e_arr = [], [], [], [], [], []
+        all_m, all_t = [], []
         for url, text, sentence_founds in zip(urls, texts, per_doc):
-            mentions, triples = self.doc_relations(url, text, sentence_founds)
-            for t in triples:
-                subj.append(t[0])
-                pred.append(t[1])
-                obj.append(t[2])
-                eurl.append(t[3])
-                s_arr.append(t[4])
-                e_arr.append(t[5])
-            for (u, eid, surf, s, e, anch) in mentions:
-                m_rows["url"].append(u)
-                m_rows["entity_id"].append(eid)
-                m_rows["surface"].append(surf)
-                m_rows["start"].append(s)
-                m_rows["end"].append(e)
-                m_rows["anchored"].append(anch)
-        cand_tbl = pa.table(
-            {
-                "subj": pa.array(subj, type=pa.string()),
-                "pred": pa.array(pred, type=pa.string()),
-                "obj": pa.array(obj, type=pa.string()),
-                "evidence_url": pa.array(eurl, type=pa.string()),
-                "evidence_start": pa.array(s_arr, type=pa.int32()),
-                "evidence_end": pa.array(e_arr, type=pa.int32()),
-            }
-        )
-        ment_tbl = pa.table(
-            {
-                "url": pa.array(m_rows["url"], type=pa.string()),
-                "entity_id": pa.array(m_rows["entity_id"], type=pa.string()),
-                "surface": pa.array(m_rows["surface"], type=pa.string()),
-                "start": pa.array(m_rows["start"], type=pa.int32()),
-                "end": pa.array(m_rows["end"], type=pa.int32()),
-                "anchored": pa.array(m_rows["anchored"], type=pa.bool_()),
-            }
-        )
-        return cand_tbl, ment_tbl
+            mentions, triples = self.doc_relations(
+                url, text, sentence_founds, want_mentions
+            )
+            all_t.extend(triples)
+            all_m.extend(mentions)
+        return _assemble(all_t, all_m)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cand_tbl, _ = self._tables(batch, want_mentions=False)
+        return cand_tbl
 
 
 class VectorLinkScan(VectorLinker):
@@ -216,27 +189,32 @@ class VectorLinkScan(VectorLinker):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cand, ment = self._tables(batch)
-        n_c, n_m = len(cand), len(ment)
+        return _tag_union(cand, ment)
 
-        def pad(col, before: int, after: int, typ):
-            return pa.array(
-                [None] * before + col.to_pylist() + [None] * after, type=typ
-            )
 
-        return pa.table(
-            {
-                "kind": pa.array(
-                    ["triple"] * n_c + ["mention"] * n_m, type=pa.string()
-                ),
-                "subj": pad(cand["subj"], 0, n_m, pa.string()),
-                "pred": pad(cand["pred"], 0, n_m, pa.string()),
-                "obj": pad(cand["obj"], 0, n_m, pa.string()),
-                "evidence_url": pad(cand["evidence_url"], 0, n_m, pa.string()),
-                "url": pad(ment["url"], n_c, 0, pa.string()),
-                "entity_id": pad(ment["entity_id"], n_c, 0, pa.string()),
-                "surface": pad(ment["surface"], n_c, 0, pa.string()),
-                "start": pad(ment["start"], n_c, 0, pa.int32()),
-                "end": pad(ment["end"], n_c, 0, pa.int32()),
-                "anchored": pad(ment["anchored"], n_c, 0, pa.bool_()),
-            }
+class VectorMentionScanner(VectorLinker):
+    """Vectorized mention-rows output (MentionScanner analog)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, ment = self._tables(batch)
+        return ment
+
+
+class VectorFusedExtractLinkPartial(VectorLinker):
+    """Vectorized fused extract+link+partial-dedup (FusedExtractLinkPartial
+    analog — same output contract, batch-vectorized scan)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .extract import extract_batch
+        from .linking import DEAD_LETTER
+
+        if "html" in batch.column_names:
+            batch = extract_batch(batch)
+        cand, _ = self._tables(batch, want_mentions=False)
+        cand = cand.filter(pc.not_equal(cand["pred"], DEAD_LETTER))
+        out = cand.select(["subj", "pred", "obj", "evidence_url"])
+        return (
+            out.group_by(["subj", "pred", "obj"])
+            .aggregate([("evidence_url", "min"), ([], "count_all")])
+            .rename_columns(["subj", "pred", "obj", "evidence_url", "n"])
         )

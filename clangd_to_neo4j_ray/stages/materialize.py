@@ -99,8 +99,12 @@ def write_graph(
         except Exception:
             return ""
 
+    from ..functions.memdebug import snapshot
+
+    mem = snapshot()  # memory_debugger.py:8-39 analog, per-run accounting
     manifest = {
         "lineage": lineage or {},
+        "memory": mem,
         "stages": {
             "write_nodes": {
                 "rows": n_nodes,
@@ -221,8 +225,86 @@ def _write_partitioned_csv(
     return sorted(r["path"] for r in manifest.take_all())
 
 
+def _write_isolated_csv(
+    ds: ray.data.Dataset,
+    csv_dir: str,
+    prefix: str,
+    key_col: str,
+    sort_cols: list[str],
+    header: dict,
+) -> list[str]:
+    """ONE writer per key partition (whole partition in one task): the
+    direct isolated-parallel analog.  Right when each partition fits a
+    worker; the batched strategy is the unbounded-size path."""
+
+    def write_group(g: pa.Table) -> pa.Table:
+        import pyarrow.csv as pacsv
+
+        key = g[key_col][0].as_py()
+        g = g.sort_by([(c, "ascending") for c in sort_cols])
+        safe = str(key).replace("/", "_")
+        d = os.path.join(csv_dir, f"{prefix}_{safe}")
+        os.makedirs(d, exist_ok=True)
+        cols = [header.get(c, c) for c in g.column_names]
+        with open(os.path.join(d, "header.csv"), "w") as f:
+            f.write(",".join(f'"{c}"' for c in cols) + "\n")
+        path = os.path.join(d, "part-00000.csv")
+        pacsv.write_csv(
+            g, path + ".tmp", write_options=pacsv.WriteOptions(include_header=False)
+        )
+        os.replace(path + ".tmp", path)
+        return pa.table({"path": pa.array([path], type=pa.string())})
+
+    manifest = ds.groupby(key_col).map_groups(write_group, batch_format="pyarrow")
+    return sorted(r["path"] for r in manifest.take_all())
+
+
+def _write_sequential_csv(
+    ds: ray.data.Dataset,
+    csv_dir: str,
+    prefix: str,
+    key_col: str,
+    sort_cols: list[str],
+    header: dict,
+) -> list[str]:
+    """ONE sequential writer consuming the globally sorted stream on the
+    driver (bounded memory, total order preserved): the unwind-sequential
+    analog — by definition not parallel, for ordered single-file dumps."""
+    import pyarrow.csv as pacsv
+
+    ordered = ds.sort([key_col] + sort_cols)
+    opts = pacsv.WriteOptions(include_header=False)
+    handles: dict[str, object] = {}
+    paths: list[str] = []
+    try:
+        for batch in ordered.iter_batches(batch_format="pyarrow"):
+            for key_tbl in _key_slices(batch, key_col):
+                key = str(key_tbl[key_col][0].as_py()).replace("/", "_")
+                if key not in handles:
+                    d = os.path.join(csv_dir, f"{prefix}_{key}")
+                    os.makedirs(d, exist_ok=True)
+                    cols = [header.get(c, c) for c in batch.column_names]
+                    with open(os.path.join(d, "header.csv"), "w") as f:
+                        f.write(",".join(f'"{c}"' for c in cols) + "\n")
+                    path = os.path.join(d, "part-00000.csv")
+                    handles[key] = pa.OSFile(path, "wb")
+                    paths.append(path)
+                pacsv.write_csv(key_tbl, handles[key], write_options=opts)
+    finally:
+        for h in handles.values():
+            h.close()
+    return sorted(paths)
+
+
+INGEST_STRATEGIES = ("batched-parallel", "isolated-parallel", "unwind-sequential")
+
+
 def write_neo4j_bulk_csv(
-    nodes: ray.data.Dataset, edges: ray.data.Dataset, csv_dir: str
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    csv_dir: str,
+    *,
+    strategy: str = "batched-parallel",
 ) -> list[str]:
     """Per-label node CSV partitions + per-type edge CSV partitions in
     ``neo4j-admin database import`` layout: one directory per label/type
@@ -230,16 +312,29 @@ def write_neo4j_bulk_csv(
     plus sorted part files (O4 stable-dump analog,
     ``compilation_parser.py:258-264``).
 
-    One distributed sort per table, then single-writer-per-part streaming —
-    the isolated-parallel ingest strategy analog (K2,
-    ``clangd_symbol_nodes_builder.py:259-333``) with no driver-side
-    materialization at any size.
+    The three ingest strategies mirror the reference's K2 surface
+    (``clangd_symbol_nodes_builder.py:126-146``, ``input_params.py:46-51``):
+
+    - ``batched-parallel`` (default): one distributed sort per table, then
+      streaming per-part writers — many sorted part files per partition, no
+      driver-side materialization at ANY size;
+    - ``isolated-parallel``: one writer owns each label/type partition
+      (single file per partition, partition must fit a worker);
+    - ``unwind-sequential``: one driver-side writer over the globally
+      sorted stream (bounded memory, total order, single file).
     """
+    if strategy not in INGEST_STRATEGIES:
+        raise ValueError(f"unknown ingest strategy: {strategy}")
     os.makedirs(csv_dir, exist_ok=True)
-    written = _write_partitioned_csv(
+    writer = {
+        "batched-parallel": _write_partitioned_csv,
+        "isolated-parallel": _write_isolated_csv,
+        "unwind-sequential": _write_sequential_csv,
+    }[strategy]
+    written = writer(
         nodes, csv_dir, "nodes", "label", ["node_id"], NEO4J_NODE_HEADER
     )
-    written += _write_partitioned_csv(
+    written += writer(
         edges, csv_dir, "edges", "type", ["src", "dst"], NEO4J_EDGE_HEADER
     )
     return written

@@ -22,7 +22,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..functions.numerics import round_col, round_half_away
-from .joins import broadcast_join, bucketed_join
+from .joins import broadcast_semi_join, bucketed_join
 from .shuffle import bucketed_group_agg, grouped_sum
 
 Q1_CUTOFF = "1998-09-02"
@@ -237,7 +237,7 @@ def top_parts_by_revenue(sf_dir: str) -> ray.data.Dataset:
             )
         )
 
-    agg = (
+    top = (
         grouped_sum(
             li.map_batches(partials, batch_format="pyarrow"),
             ["p_partkey"],
@@ -246,15 +246,22 @@ def top_parts_by_revenue(sf_dir: str) -> ray.data.Dataset:
         .map_batches(lambda t: round_col(t, "rev", 2), batch_format="pyarrow")
         .sort(["rev", "p_partkey"], descending=[True, False])
         .limit(TOP_PARTS_K)
+        .to_pandas()  # K rows — the one legitimate driver materialization
     )
-    part = _small_df(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
-    joined = broadcast_join(agg, part, on="p_partkey")
-    return joined.map_batches(
-        lambda df: df.rename(columns={"rev": "revenue"})[
-            ["p_partkey", "p_name", "p_brand", "revenue"]
-        ],
-        batch_format="pandas",
+    # attach attributes for just the K winners: distributed is_in filter of
+    # the part dimension (never a full-dimension driver read), then a K-row
+    # pandas merge on the driver
+    keys = top["p_partkey"].tolist()
+    attrs = (
+        broadcast_semi_join(
+            _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"]),
+            "p_partkey",
+            keys,
+        )
+        .to_pandas()
     )
+    out = top.merge(attrs, on="p_partkey").rename(columns={"rev": "revenue"})
+    return out[["p_partkey", "p_name", "p_brand", "revenue"]]
 
 
 def customers_without_orders(sf_dir: str) -> ray.data.Dataset:

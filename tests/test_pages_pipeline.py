@@ -147,6 +147,60 @@ def test_build_graph_rerun_same_outdir(fixture, tmp_path):
     assert v["duplicate_node_ids"] == 0 and v["dangling_edges"] == 0
 
 
+def test_csv_sink_three_strategies_equivalent(tmp_path):
+    """K2: batched-parallel / isolated-parallel / unwind-sequential must
+    produce identical per-partition row multisets; the non-batched ones
+    additionally produce one globally sorted file per partition."""
+    import os
+
+    import pyarrow as pa
+
+    from clangd_to_neo4j_ray.stages.materialize import (
+        INGEST_STRATEGIES,
+        write_neo4j_bulk_csv,
+    )
+
+    n = 600
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "node_id": [f"n{i:04d}" for i in range(n)],
+                "label": ["PAGE" if i % 3 else "SITE" for i in range(n)],
+                "name": [f"nm{i}" for i in range(n)],
+            }
+        )
+    ).repartition(8)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": [f"n{i:04d}" for i in range(n - 1)],
+                "type": ["LINKS"] * (n - 1),
+                "dst": [f"n{i + 1:04d}" for i in range(n - 1)],
+            }
+        )
+    ).repartition(8)
+
+    contents = {}
+    for strat in INGEST_STRATEGIES:
+        d = str(tmp_path / strat)
+        written = write_neo4j_bulk_csv(nodes, edges, d, strategy=strat)
+        rows = {}
+        for p in written:
+            part_dir = os.path.basename(os.path.dirname(p))
+            with open(p) as f:
+                rows.setdefault(part_dir, []).extend(
+                    line for line in f if line.strip()
+                )
+        contents[strat] = {k: sorted(v) for k, v in rows.items()}
+        if strat != "batched-parallel":  # single sorted file per partition
+            for p in written:
+                with open(p) as f:
+                    lines = [line for line in f]
+                assert lines == sorted(lines), p
+    assert contents["batched-parallel"] == contents["isolated-parallel"]
+    assert contents["batched-parallel"] == contents["unwind-sequential"]
+
+
 def test_csv_sink_streams_multipart(tmp_path):
     """The bulk-CSV sink must never concatenate a label partition: a
     many-block hot label comes out as MULTIPLE sorted part files whose
