@@ -30,12 +30,14 @@ def tune_data_context(
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
     ctx.execution_options.preserve_order = preserve_order
-    # Hash-partitioned shuffle for groupby/repartition: measured ~3.5x faster
-    # than the sort-based default on LARGE bucketed aggregations (1M+ partial
-    # rows, stages/shuffle.py) but slower on small inputs (fixed aggregator
-    # actor cost), so it is opt-in per workload.  Aggregator actors must be
-    # sized to the cluster: the defaults oversubscribe a small CPU budget and
-    # the shuffle deadlocks (observed on a 4-CPU test cluster).
+    # Hash-partitioned shuffle is OFF by default and should stay off for
+    # large exchanges on this Ray version: the operator's map side
+    # (`hash_partition`, ray/data/_internal/arrow_ops/transform_pyarrow.py)
+    # hashes `tuple(col[i] ...)` in a per-row Python loop with pyarrow
+    # scalars — measured r2 at 1.4-4.3 s per 66k-row block, which made the
+    # exchange the most expensive stage of the core flow.  The sort-based
+    # default range-partitions our int64 `__bucket` column with vectorized
+    # pyarrow kernels instead.  Kept as an opt-in for small exchanges only.
     if hash_shuffle:
         try:
             from ray.data.context import ShuffleStrategy

