@@ -29,8 +29,8 @@ import ray.data
 
 from .shuffle import bucketed_group_agg, distinct, grouped_agg
 
-N_MINHASH = 8  # 4-hex-char minhashes per doc (slices of one md5)
-N_BANDS = 4  # LSH bands of r=2 minhashes each
+N_MINHASH = 16  # 4-hex-char minhashes per doc (slices of two salted md5s)
+N_BANDS = 8  # LSH bands of r=2 minhashes each (catch threshold ~(1/8)^(1/2)~0.35)
 SHINGLE_K = 3  # tokens per shingle for minhash
 SIMHASH_BITS = 60  # fits signed int64; = 15 hex chars of md5
 
@@ -91,17 +91,24 @@ def _doc_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
 def _minhash_rows(batch: pa.Table) -> pa.Table:
     """Per doc: N_BANDS rows (doc_id, band, sig).
 
-    minhash_i = min over shingles of md5(shingle)[4i:4i+4]; band signature =
-    concat of its r minhashes.  One md5 per shingle total — the 8 hash
-    functions are disjoint hex slices, reproducible in SQL as
-    ``substr(md5(shingle), 4*i+1, 4)``."""
+    minhash_i = min over shingles of a 4-hex-char slice of a salted md5:
+    slices 0-7 come from md5(shingle), slices 8-15 from md5(shingle||'#')
+    (a 32-hex digest only yields 8 disjoint slices, so widening past the
+    round-1 toy 8-hash/4-band parameters needs a second salted digest).
+    Band signature = concat of its r minhashes.  Two md5 per shingle total;
+    reproducible in SQL as
+    ``substr(md5(CASE WHEN i<8 THEN s ELSE s||'#' END), 4*(i%8)+1, 4)``."""
     doc_ids, bands, sigs = [], [], []
     r = N_MINHASH // N_BANDS
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
         sh = _doc_shingles(text)
         if not sh:
             continue
-        digests = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in sh]
+        digests = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            + hashlib.md5((s + "#").encode("utf-8")).hexdigest()
+            for s in sh
+        ]
         mins = [min(d[4 * i : 4 * i + 4] for d in digests) for i in range(N_MINHASH)]
         for b in range(N_BANDS):
             doc_ids.append(doc_id)
@@ -397,7 +404,9 @@ sh AS (
 )"""
 _SQL_MINSIG = f"""
 mh AS (
-  SELECT doc_id, t.i, min(substr(md5(s), 4 * t.i + 1, 4)) AS mh
+  SELECT doc_id, t.i,
+         min(substr(md5(CASE WHEN t.i < 8 THEN s ELSE s || '#' END),
+                    4 * (t.i % 8) + 1, 4)) AS mh
   FROM sh, range({N_MINHASH}) t(i) GROUP BY doc_id, t.i
 ),
 sig AS (
