@@ -183,6 +183,111 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = LSH_PLANES) -> ray.data.Dataset:
     return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
 
 
+N_CENTROIDS = 16  # IVF list count: sampled centroids = vec_ids [N_QUERIES, N_QUERIES+16)
+N_PROBES = 4  # IVF probe width: each query searches its 4 nearest lists
+
+
+class IvfScorer:
+    """Actor-pool stage for the IVF-Flat scale path: every row is assigned
+    to its nearest sampled centroid (rounded cosine, ties to the smallest
+    centroid id — numpy argmax's first-max IS that tie-break), and scored
+    only against queries probing that centroid's list.  Per-batch partial
+    top-k, never a whole inverted list in one task."""
+
+    def __init__(self, query_ref):
+        qids, qm, cm = (
+            ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        )
+        self.qids = qids
+        self.qm = qm
+        self.qnorm = np.linalg.norm(qm, axis=1)
+        self.cm = cm
+        cnorm = np.linalg.norm(cm, axis=1)
+        # per-query probe set: N_PROBES nearest centroids by rounded cosine
+        qc = round_half_away(
+            (qm @ cm.T) / np.outer(self.qnorm, cnorm), COS_DECIMALS
+        )
+        self.probes = [
+            set(np.lexsort((np.arange(cm.shape[0]), -qc[i]))[:N_PROBES].tolist())
+            for i in range(len(qids))
+        ]
+        self.cnorm = cnorm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        vc = round_half_away(
+            (m @ self.cm.T) / np.outer(norms, self.cnorm), COS_DECIMALS
+        )
+        assign = np.argmax(vc, axis=1)  # first max = smallest cid tie-break
+        q_out, n_out, c_out, l_out = [], [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(assign, list(self.probes[qi])) & (ids != qid)
+            if not mask.any():
+                continue
+            sims = round_half_away(
+                (self.qm[qi] @ m[mask].T) / (self.qnorm[qi] * norms[mask]),
+                COS_DECIMALS,
+            )
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -sims))[:TOP_K]
+            q_out.extend([int(qid)] * len(order))
+            n_out.extend(sub_ids[order].tolist())
+            c_out.extend(sims[order].tolist())
+            l_out.extend(assign[mask][order].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(q_out, type=pa.int64()),
+                "nid": pa.array(n_out, type=pa.int64()),
+                "cos": pa.array(c_out, type=pa.float64()),
+                "cid": pa.array(l_out, type=pa.int64()),
+            }
+        )
+
+
+def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
+    """IVF-Flat approximate top-k: inverted lists from deterministic
+    sampled centroids (the embeddings with vec_id in
+    [N_QUERIES, N_QUERIES+N_CENTROIDS) — the k-means-free IVF init, fully
+    SQL-reproducible), probe the N_PROBES nearest lists per query, exact
+    cosine within probed lists.  Output: (qid, nid, cos, cid),
+    ranking (cos desc, nid asc), top-10 per query.
+
+    The second scale path beside ``ann_lsh_topk``: candidate volume is
+    ~N_PROBES/N_CENTROIDS of the corpus per query, tunable independently
+    of dimensionality (LSH bucket occupancy degrades at low n_planes)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(
+        pa.compute.and_(
+            pa.compute.greater_equal(t["vec_id"], N_QUERIES),
+            pa.compute.less(t["vec_id"], N_QUERIES + N_CENTROIDS),
+        )
+    )
+    cm = np.stack(
+        t.sort_by("vec_id")["embedding"].to_pylist()
+    ).astype(np.float64)
+    qids, qm = _query_matrix(sf_dir)
+    ref = ray.put((qids, qm, cm))
+    partials = _read_embeddings(sf_dir).map_batches(
+        IvfScorer,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "nid"], ascending=[False, True]).head(TOP_K)
+        return g[["qid", "nid", "cos", "cid"]]
+
+    return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = LSH_PLANES) -> str:
     """DuckDB oracle for ann_lsh_topk: the seeded hyperplanes are embedded
     as exact float64 literals, so bucket assignment and within-bucket
@@ -235,3 +340,44 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= {TOP_K}
 """,
 }
 ORACLE_SQL["ann_lsh_topk"] = _lsh_oracle_sql()
+
+ORACLE_SQL["ann_ivf_topk"] = f"""
+WITH c AS (
+  SELECT vec_id - {N_QUERIES} AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+a AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce),
+               {COS_DECIMALS}) AS cos
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid FROM a
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) = 1
+),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT q.qid, c.cid FROM q CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid
+    ORDER BY round(list_cosine_similarity(q.qe, c.ce), {COS_DECIMALS}) DESC,
+             c.cid
+  ) <= {N_PROBES}
+),
+s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])),
+               {COS_DECIMALS}) AS cos,
+         assign.cid
+  FROM q
+  JOIN probes ON probes.qid = q.qid
+  JOIN assign ON assign.cid = probes.cid
+  JOIN embeddings e ON e.vec_id = assign.vec_id
+  WHERE e.vec_id != q.qid
+)
+SELECT qid, nid, cos, cid FROM s
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= {TOP_K}
+"""

