@@ -98,6 +98,26 @@ def test_stable_hash_pinned_values():
     ], [hex(x) for x in got]
 
 
+def test_stable_hash_bucket_uniformity():
+    """The sampled-window hash must spread realistic structured keys
+    (entity-triple keys and URLs share long common prefixes) evenly over
+    buckets — heavy bucket skew would serialize the exchange reducers."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clangd_to_neo4j_ray.stages.shuffle import _stable_hash64
+
+    rng = np.random.default_rng(0)
+    ij = rng.integers(0, 3000, (100_000, 2))
+    keys = [f"ent_{i:06d}\x1fworks_for\x1fent_{j:06d}" for i, j in ij]
+    urls = [f"https://d{i % 40:02d}.example.com/p{j:06d}" for i, j in ij]
+    for arr in (pa.array(keys), pa.array(urls)):
+        h = _stable_hash64(arr)
+        counts = np.bincount((h % 32).astype(int), minlength=32)
+        assert counts.min() > 0.8 * counts.mean(), counts
+        assert counts.max() < 1.2 * counts.mean(), counts
+
+
 def test_stable_hash_slice_and_chunk_invariant():
     import pyarrow as pa
 
