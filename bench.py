@@ -203,9 +203,9 @@ def scaling(
     Both efficiencies are reported; BASELINE.md records the supporting
     kernel-level measurements."""
     scale_pages = os.environ.get("SCALE_PAGES", "1200000")
-    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("SCALE_REPEATS", "3"))
 
-    def run_leg(ncpu: int, spin: int = 0) -> dict:
+    def run_once(ncpu: int, spin: int = 0) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -214,46 +214,49 @@ def scaling(
             BENCH_PAGES=scale_pages,
             BENCH_DENSE="1",
         )
-        runs = []
-        for _ in range(repeats):  # min over repeats: the sandbox host is
-            spinners = [  # noisy (2x swings between identical runs)
-                subprocess.Popen([sys.executable, "-c", "while True: pass"])
-                for _ in range(spin)
-            ]
-            try:
-                out = subprocess.run(
-                    [sys.executable, __file__], env=env, capture_output=True,
-                    text=True, check=True,
-                ).stdout
-            finally:
-                for p in spinners:
-                    p.kill()
-            runs.append(json.loads(out.strip().splitlines()[-1]))
-        best = min(runs, key=lambda r: r["value"])
-        best["all_sec"] = [r["value"] for r in runs]
-        return best
+        spinners = [
+            subprocess.Popen([sys.executable, "-c", "while True: pass"])
+            for _ in range(spin)
+        ]
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__], env=env, capture_output=True,
+                text=True, check=True,
+            ).stdout
+        finally:
+            for p in spinners:
+                p.kill()
+        return json.loads(out.strip().splitlines()[-1])
 
-    r_lo = run_leg(lo)
-    r_lo_env = run_leg(lo, spin=hi - lo)
-    r_hi = run_leg(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    eff_env = (r_lo_env["value"] / r_hi["value"]) / (hi / lo)
+    # Interleave the legs within each round (lo, lo-fixed-envelope, hi) so
+    # the shared host's load drift — identical runs swing 2x minutes apart —
+    # hits every leg alike; min-of-rounds per leg then compares like with
+    # like instead of one leg's quiet minute against another's busy one.
+    legs = {"lo": (lo, 0), "lo_env": (lo, hi - lo), "hi": (hi, 0)}
+    runs: dict[str, list[dict]] = {k: [] for k in legs}
+    for _ in range(repeats):
+        for k, (ncpu, spin) in legs.items():
+            runs[k].append(run_once(ncpu, spin))
+    best = {k: min(v, key=lambda r: r["value"]) for k, v in runs.items()}
+    all_sec = {k: [r["value"] for r in v] for k, v in runs.items()}
+    eff = (best["lo"]["value"] / best["hi"]["value"]) / (hi / lo)
+    eff_env = (best["lo_env"]["value"] / best["hi"]["value"]) / (hi / lo)
     print(
         json.dumps(
             {
-                "sec_lo": r_lo["value"],
-                "sec_lo_fixed_envelope": r_lo_env["value"],
-                "sec_hi": r_hi["value"],
+                "sec_lo": best["lo"]["value"],
+                "sec_lo_fixed_envelope": best["lo_env"]["value"],
+                "sec_hi": best["hi"]["value"],
                 "cpus_lo": lo,
                 "cpus_hi": hi,
-                "throughput_lo_pages_per_sec": r_lo["pages_per_sec"],
-                "throughput_lo_fixed_envelope_pages_per_sec": r_lo_env["pages_per_sec"],
-                "throughput_hi_pages_per_sec": r_hi["pages_per_sec"],
+                "throughput_lo_pages_per_sec": best["lo"]["pages_per_sec"],
+                "throughput_lo_fixed_envelope_pages_per_sec": best["lo_env"]["pages_per_sec"],
+                "throughput_hi_pages_per_sec": best["hi"]["pages_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "scaling_efficiency_fixed_envelope": round(eff_env, 3),
-                "all_sec_lo": r_lo["all_sec"],
-                "all_sec_lo_fixed_envelope": r_lo_env["all_sec"],
-                "all_sec_hi": r_hi["all_sec"],
+                "all_sec_lo": all_sec["lo"],
+                "all_sec_lo_fixed_envelope": all_sec["lo_env"],
+                "all_sec_hi": all_sec["hi"],
                 "n_pages": int(scale_pages),
             }
         )

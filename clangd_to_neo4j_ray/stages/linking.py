@@ -14,7 +14,7 @@ The analog of the reference's reference-scan + caller-resolution passes:
   first-match-in-document-order, the parallel-safe replacement for the
   reference's sorted-span linear scan with ``break``.
 
-Two scan strategies (the ``--source-parser {clang,treesitter}`` strategy
+Four scan strategies (the ``--source-parser {clang,treesitter}`` strategy
 surface analog, ``compilation_manager.py:113-123``):
 
 - ``token`` (default): token-anchored dictionary scan — aliases are token
@@ -26,6 +26,13 @@ surface analog, ``compilation_manager.py:113-123``):
 - ``regex``: single longest-first alternation with hard non-alnum
   boundaries — the reference semantics the oracle implements; used by the
   P/R tests to prove the token path equivalent on the fixture.
+- ``vector`` (linking_vec.py): Arrow/numpy batch-vectorized token scan.
+- ``ac`` (linking_ac.py): polars Rust Aho-Corasick over the whole batch,
+  regex-exact boundaries/greedy (covers punctuation the token scan's
+  whole-token assumption does not).  Measured ~15% slower than ``token``
+  at the bench dictionary size (post-filtering overlapping hits in Python
+  dominates), but its automaton scan cost is independent of alias count —
+  the strategy of record for very large dictionaries.
 
 The linker is a callable CLASS: the dictionary index is built once per actor
 from a broadcast object ref (``ray.put`` once on the driver), mirroring the
@@ -350,16 +357,25 @@ DEFAULT_STRATEGY = _os.environ.get("LINK_STRATEGY", "token")
 
 
 def _resolve_cls(cls, strategy: str):
-    if strategy != "vector":
-        return cls
-    from . import linking_vec as lv
+    if strategy == "vector":
+        from . import linking_vec as lv
 
-    return {
-        "EntityLinker": lv.VectorLinker,
-        "MentionScanner": lv.VectorMentionScanner,
-        "LinkScan": lv.VectorLinkScan,
-        "FusedExtractLinkPartial": lv.VectorFusedExtractLinkPartial,
-    }[cls.__name__]
+        return {
+            "EntityLinker": lv.VectorLinker,
+            "MentionScanner": lv.VectorMentionScanner,
+            "LinkScan": lv.VectorLinkScan,
+            "FusedExtractLinkPartial": lv.VectorFusedExtractLinkPartial,
+        }[cls.__name__]
+    if strategy == "ac":
+        from . import linking_ac as la
+
+        return {
+            "EntityLinker": la.AcLinker,
+            "MentionScanner": la.AcMentionScanner,
+            "LinkScan": la.AcLinkScan,
+            "FusedExtractLinkPartial": la.AcFusedExtractLinkPartial,
+        }[cls.__name__]
+    return cls
 
 
 def _pool_stage(cls, extracted, alias_ref, concurrency, batch_size, strategy):
