@@ -202,7 +202,7 @@ def scaling(
 
     Both efficiencies are reported; BASELINE.md records the supporting
     kernel-level measurements."""
-    scale_pages = os.environ.get("SCALE_PAGES", "1200000")
+    scale_pages = os.environ.get("SCALE_PAGES", "2400000")
     repeats = int(os.environ.get("SCALE_REPEATS", "3"))
 
     def run_once(ncpu: int, spin: int = 0) -> dict:

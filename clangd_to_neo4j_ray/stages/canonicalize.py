@@ -81,10 +81,13 @@ def merge_partial_triples(partials: ray.data.Dataset) -> ray.data.Dataset:
     exchange.
 
     A second-level combine over LARGE (1M-row) re-batches runs first: the
-    fused stage's partials are per-1k-page batches, so re-combining across
-    ~1000 of them shrinks the exchange several-fold for near-free (task-
-    parallel, no shuffle; a 1M-row batch dedups ~2x deeper than a 64k one
-    on the bench corpus, halving exchange volume — ~100 MB peak per task)."""
+    fused stage's partials are per-2k-page batches, so re-combining across
+    ~500 of them shrinks the exchange several-fold for near-free
+    (task-parallel, no shuffle).  1M-row batches measured best in the
+    OVERLAPPED flow (two back-to-back A/B pairs at 1.2M pages/32 CPUs:
+    20.8/21.3 s vs 22.1/26.4 s for 256k): fewer mid-run combine tasks
+    steal less CPU from the link actor pool, which outweighs the longer
+    one-task tail after the last link output."""
     from .shuffle import grouped_agg
 
     def recombine(batch: pa.Table) -> pa.Table:
