@@ -98,6 +98,11 @@ register(
     _enrich.ORACLE_SQL["enrich_documents"],
 )
 
+# --- composed corpus-clean pipeline (exact dedup -> LSH prune -> quality) ---
+from .pipelines import corpus as _corpus
+
+register("corpus_clean", _corpus.corpus_clean, _corpus.ORACLE_SQL["corpus_clean"])
+
 
 def _pages_kg_flagship(sf_dir: str):
     """Flagship pages pipeline end-to-end on a deterministic synthetic F1

@@ -21,6 +21,7 @@ NAMES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "enrich_documents",
+    "corpus_clean",
     "events_tumbling",
     "events_sessions",
     "events_type_stats",
