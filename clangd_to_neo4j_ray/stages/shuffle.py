@@ -82,18 +82,21 @@ def _stable_hash64(arr) -> "np.ndarray":
     lens = offs[1:] - starts
     with np.errstate(over="ignore"):
         h = _splitmix(lens.astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
-        if data.size:
-            base = np.maximum(lens - 8, 0)
-            hi_clip = data.size - 1
-            for num, den in _WINDOW_FRACS:
+        base = np.maximum(lens - 8, 0)
+        for num, den in _WINDOW_FRACS:
+            # the mix round runs for EVERY string (word = 0 past the end /
+            # for empties) so the value is a pure function of the string —
+            # skipping rounds when a batch happens to hold only empty
+            # strings would hash '' differently per batch composition
+            word = np.zeros(n, dtype=np.uint64)
+            if data.size:
                 p = starts + (base * num) // den
-                word = np.zeros(n, dtype=np.uint64)
                 for j in range(8):
                     idx = p + j
                     valid = (idx - starts) < lens
-                    b = data[np.minimum(idx, hi_clip)].astype(np.uint64)
+                    b = data[np.minimum(idx, data.size - 1)].astype(np.uint64)
                     word |= (b * valid) << np.uint64(8 * j)
-                h = _splitmix(h ^ (word * np.uint64(_P)))
+            h = _splitmix(h ^ (word * np.uint64(_P)))
     return h
 
 

@@ -98,6 +98,42 @@ def test_stable_hash_pinned_values():
     ], [hex(x) for x in got]
 
 
+def _ref_hash64(s: str) -> int:
+    """Pure-Python mirror of the sampled-window hash — the algorithm spec."""
+    M = (1 << 64) - 1
+
+    def mix(h):
+        h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & M
+        h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & M
+        return h ^ (h >> 31)
+
+    b = s.encode("utf-8")
+    n = len(b)
+    h = mix(n ^ 0x9E3779B97F4A7C15)
+    base = max(n - 8, 0)
+    for num, den in ((0, 1), (1, 3), (2, 3), (1, 1)):
+        p = (base * num) // den
+        word = 0
+        for j in range(8):
+            if p + j < n:
+                word |= b[p + j] << (8 * j)
+        h = mix(h ^ ((word * 1099511628211) & M))
+    return h
+
+
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1, max_size=20))
+@settings(max_examples=80, deadline=None)
+def test_stable_hash_matches_reference_spec(strs):
+    """The vectorized hash must equal the scalar spec for ANY strings —
+    pins the whole algorithm, not just four sample values."""
+    import pyarrow as pa
+
+    from clangd_to_neo4j_ray.stages.shuffle import _stable_hash64
+
+    got = [int(x) for x in _stable_hash64(pa.array(strs, type=pa.string()))]
+    assert got == [_ref_hash64(s) for s in strs]
+
+
 def test_stable_hash_bucket_uniformity():
     """The sampled-window hash must spread realistic structured keys
     (entity-triple keys and URLs share long common prefixes) evenly over
