@@ -42,9 +42,14 @@ def corpus_clean(sf_dir: str) -> ray.data.Dataset:
     """Survivor documents with their quality stats.
 
     Output: (doc_id, n_tokens, n_types), unique on doc_id."""
+    # reps fans out to three consumers (two semi joins + the anti join); a
+    # lazy Dataset re-executes its whole lineage per consumer, so pin it
+    # once (same rule as build_graph's shared intermediates).  It holds one
+    # doc_id per unique document — ids only, object-store-resident and
+    # spillable at any corpus size.
     reps = dedup_exact(sf_dir).map_batches(
         lambda t: pa.table({"doc_id": t["rep_doc_id"]}), batch_format="pyarrow"
-    )
+    ).materialize()
     pairs = dedup_minhash_pairs(sf_dir)
     # candidate pairs whose BOTH endpoints survived exact dedup
     p1 = bucketed_join(pairs, reps, on="a_doc", right_on="doc_id", how="semi")
