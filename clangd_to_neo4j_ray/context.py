@@ -70,14 +70,17 @@ def default_pool_size() -> tuple[int, int]:
 
     A pool that reserves every CPU starves the task operators feeding it and
     the pipeline deadlocks (observed with concurrency=4 on a 4-CPU local
-    cluster).  The reference sizes its pools the same way: parse workers
+    cluster).  The upper bound is 3/4 of the CPUs — the best point of the
+    r2 sweep once the exchange stopped stealing CPU (bench.py run_core):
+    larger pools slow the overlapped combine/exchange more than they speed
+    the scan.  The reference sizes its pools the same way: parse workers
     default to ceil(cpu/2), not cpu (``input_params.py:16-24``).
     """
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return (1, max(1, cpus - 1))
+    return (1, max(1, cpus * 3 // 4))
 
 
 # Default per-stage batch sizing (the analog of the reference's
