@@ -278,18 +278,21 @@ def dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
         return out
 
     pair_partials = bucketed_group_agg(shingles, ["source", "s"], expand_pairs)
-    pair_counts = grouped_agg(
-        pair_partials, ["a_doc", "b_doc"], {"n_intersect": ("ni", "sum")}
-    )
 
     import polars as pl
 
+    # the per-pair count combine FUSES into the first join's exchange
+    # (both key on a_doc; every (a_doc, b_doc) group lives inside one
+    # a_doc bucket) — one all-to-all instead of two
     with_a = bucketed_join(
-        pair_counts,
+        pair_partials,
         doc_counts,
         on="a_doc",
         right_on="doc_id",
         how="inner",
+        left_combine=lambda df: df.group_by(["a_doc", "b_doc"]).agg(
+            pl.col("ni").sum().alias("n_intersect")
+        ),
         right_combine=lambda df: df.unique().rename({"n_sh": "na"}),
     )
     with_b = bucketed_join(
