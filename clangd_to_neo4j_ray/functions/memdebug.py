@@ -20,21 +20,13 @@ def rss_mb() -> float:
 
 
 def object_store_mb() -> float | None:
-    """Bytes currently pinned in the Ray object store (None outside Ray)."""
+    """Bytes currently pinned in the Ray object store (None outside Ray),
+    from cluster resource accounting (total minus available)."""
     try:
         import ray
 
         if not ray.is_initialized():
             return None
-        used = ray._private.internal_api.memory_summary(stats_only=True)
-        # fall back to cluster resource accounting when the summary string
-        # is unavailable/unparseable
-        del used
-    except Exception:
-        pass
-    try:
-        import ray
-
         res = ray.available_resources()
         total = ray.cluster_resources()
         if "object_store_memory" in total:

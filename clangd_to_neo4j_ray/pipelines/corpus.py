@@ -31,7 +31,6 @@ import ray.data
 from ..stages.dedup import (
     _SQL_MINSIG, _SQL_SHINGLES3, _SQL_TOK, dedup_exact, dedup_minhash_pairs)
 from ..stages.joins import bucketed_join
-from ..stages.shuffle import distinct
 from ..stages.text import text_quality
 
 MIN_TOKENS = 20  # drop the shortest ~10% of documents
@@ -54,13 +53,16 @@ def corpus_clean(sf_dir: str) -> ray.data.Dataset:
     # candidate pairs whose BOTH endpoints survived exact dedup
     p1 = bucketed_join(pairs, reps, on="a_doc", right_on="doc_id", how="semi")
     p2 = bucketed_join(p1, reps, on="b_doc", right_on="doc_id", how="semi")
-    drop = distinct(
-        p2.map_batches(
-            lambda t: pa.table({"doc_id": t["b_doc"]}), batch_format="pyarrow"
-        ),
-        ["doc_id"],
+    drop = p2.map_batches(
+        lambda t: pa.table({"doc_id": t["b_doc"]}), batch_format="pyarrow"
     )
-    survivors = bucketed_join(reps, drop, on="doc_id", how="anti")
+    # no standalone distinct: anti-join semantics ignore right-side
+    # duplicates, and the per-bucket unique() combine keeps memory flat —
+    # one exchange fewer
+    survivors = bucketed_join(
+        reps, drop, on="doc_id", how="anti",
+        right_combine=lambda df: df.unique(),
+    )
     quality = bucketed_join(
         text_quality(sf_dir), survivors, on="doc_id", how="semi"
     )

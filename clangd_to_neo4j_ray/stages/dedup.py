@@ -226,15 +226,12 @@ def dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         src_out, doc_out, s_out = [], [], []
-        cnt_doc, cnt_n = [], []
         for src, doc_id, text in zip(
             batch["source"].to_pylist(),
             batch["doc_id"].to_pylist(),
             batch["text"].to_pylist(),
         ):
             sh = _doc_shingles(text, 2)
-            cnt_doc.append(doc_id)
-            cnt_n.append(len(sh))
             src_out.extend([src] * len(sh))
             doc_out.extend([doc_id] * len(sh))
             s_out.extend(sh)
@@ -263,7 +260,10 @@ def dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    doc_counts = docs.map_batches(counts, batch_format="pyarrow")
+    # pinned: doc_counts feeds BOTH count joins, and a lazy Dataset
+    # re-executes its whole lineage (read + shingling) per consumer —
+    # two int64 columns, one row per doc, spillable at any size
+    doc_counts = docs.map_batches(counts, batch_format="pyarrow").materialize()
 
     def expand_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # posting-list self-merge per (source, shingle); partial pair counts
@@ -337,21 +337,40 @@ def dedup_embedding_pairs(sf_dir: str) -> ray.data.Dataset:
     (matches the DuckDB oracle's DOUBLE[] cast).
 
     Scale design (VERDICT r1 #6): a label partition is never loaded whole.
-    Rows are chunked by a stable hash of vec_id; each row is replicated to
-    every (label, chunk_i, chunk_j) cell of its row/column of the chunk
-    grid, and each cell task compares AT MOST two chunks (bounded memory,
-    EMBED_CHUNK rows each) with one matmul.  Total flops are unchanged
-    (exact all-pairs semantics); peak memory per task is O(chunk^2)."""
+    The chunk grid is PER LABEL (code-review r2: a global grid replicated
+    every row n_total/256 times regardless of its label's size): each row
+    is chunked by vec_id within its label's ceil(n_label/EMBED_CHUNK)-way
+    grid and replicated only to the cells of its own row/column, so the
+    replication factor is ceil(n_label/256) — a 1,000-label corpus of 500
+    rows each replicates ~2x, not ~2,000x.  Each cell task compares AT
+    MOST two chunks (bounded memory, EMBED_CHUNK rows each) with one
+    matmul.  Total flops are unchanged (exact all-pairs semantics); peak
+    memory per task is O(chunk^2).  The per-label row counts are a
+    driver-side table bounded by label cardinality (the blocking key's
+    design assumption, like the reference's per-FILE grouping)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    n_total = ds.count()  # metadata row count
-    n_chunks = max(1, -(-n_total // EMBED_CHUNK))
+    label_counts = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label"])
+        .groupby("label")
+        .count()
+        .to_pandas()
+    )
+    kmap = {
+        l: max(1, -(-int(c) // EMBED_CHUNK))
+        for l, c in zip(label_counts["label"], label_counts["count()"])
+    }
 
     def replicate(batch: pa.Table) -> pa.Table:
         n = len(batch)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        chunk = (ids % n_chunks).astype(np.int64)
-        idx = np.repeat(np.arange(n), n_chunks)
-        other = np.tile(np.arange(n_chunks, dtype=np.int64), n)
+        labels = batch["label"].to_pylist()
+        k_arr = np.array([kmap[l] for l in labels], dtype=np.int64)
+        chunk = (ids % k_arr).astype(np.int64)
+        idx = np.repeat(np.arange(n), k_arr)
+        starts = np.cumsum(k_arr) - k_arr
+        other = np.arange(int(k_arr.sum()), dtype=np.int64) - np.repeat(
+            starts, k_arr
+        )
         mine = chunk[idx]
         base = batch.select(["label", "vec_id", "embedding"]).take(
             pa.array(idx)

@@ -173,13 +173,26 @@ def bucketed_join(
         bufs = t["payload"].to_pylist()
         l_parts = [_deser_table(b) for b, s in zip(bufs, sides) if s == 0]
         r_parts = [_deser_table(b) for b, s in zip(bufs, sides) if s == 1]
-        if not l_parts:  # left side produced no blocks at all: join is empty
-            return pa.table({})
+        # a side's parts are missing when that side's dataset materialized
+        # zero blocks (empty from_pandas/from_items, or an all-empty result
+        # whose empty blocks Ray elides) — its schema is then unknowable
+        # here; row-correct fallbacks below, loud failure where the output
+        # schema would silently change
+        if not l_parts:
+            return pa.table({})  # left blockless: empty join in every mode
         lf = pl.from_arrow(pa.concat_tables(l_parts, promote_options="default"))
         if left_combine is not None:
             lf = left_combine(lf)
-        if not r_parts:  # right side empty: anti/left keep lf, inner/semi drop
-            out = lf if how in ("anti", "left") else lf.head(0)
+        if not r_parts:
+            if how == "left":
+                # emitting lf bare would silently drop the right columns the
+                # caller expects null-filled; fail loudly instead
+                raise ValueError(
+                    "bucketed_join(how='left'): right dataset produced no "
+                    "blocks, so its schema is unknown — give the right side "
+                    "at least one (possibly empty) block"
+                )
+            out = lf if how == "anti" else lf.head(0)
             return _compat(out.to_arrow())
         rf = pl.from_arrow(pa.concat_tables(r_parts, promote_options="default"))
         if right_combine is not None:

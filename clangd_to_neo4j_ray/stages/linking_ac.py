@@ -54,12 +54,23 @@ class AcLinker(EntityLinker):
 
     def _sentence_founds(self, text: str, starts, surfs):
         n = len(text)
+        # sentence k covers [sent_starts[k], sent_starts[k+1] - 1): the
+        # per-sentence scanners see SPLIT substrings, so a hit crossing a
+        # split point (an alias containing '. ') can never match there — a
+        # whole-text AC hit that spans one must be rejected BEFORE the
+        # greedy pass, or it would both diverge from the regex semantics
+        # and wrongly advance the cursor past legitimate in-sentence hits.
+        sent_starts = [0] + [m.end() for m in _SENTENCE_SPLIT.finditer(text)]
         hits = []
         for s, surf in zip(starts, surfs):
             e = s + len(surf)
             if s > 0 and text[s - 1] in _WORD:
                 continue
             if e < n and text[e] in _WORD:
+                continue
+            k = bisect_right(sent_starts, s) - 1
+            sent_end = sent_starts[k + 1] - 1 if k + 1 < len(sent_starts) else n
+            if e > sent_end:
                 continue
             hits.append((s, -len(surf), surf))
         hits.sort()
@@ -70,8 +81,6 @@ class AcLinker(EntityLinker):
                 e = s - neg_len
                 found.append((s, e, surf))
                 cursor = e
-        # group by sentence (the per-sentence scanners' split offsets)
-        sent_starts = [0] + [m.end() for m in _SENTENCE_SPLIT.finditer(text)]
         by_sent: dict[int, list] = {}
         for s, e, surf in found:
             ss = sent_starts[bisect_right(sent_starts, s) - 1]

@@ -169,7 +169,7 @@ class _PartitionedCsvWriter:
             opts = pacsv.WriteOptions(include_header=False)
             for key_tbl in _key_slices(batch, self.key_col):
                 key = key_tbl[self.key_col][0].as_py()
-                safe = str(key).replace("/", "_")
+                safe = _safe_key(key)
                 d = os.path.join(self.csv_dir, f"{self.prefix}_{safe}")
                 os.makedirs(d, exist_ok=True)
                 hdr_path = os.path.join(d, "header.csv")
@@ -242,7 +242,7 @@ def _write_isolated_csv(
 
         key = g[key_col][0].as_py()
         g = g.sort_by([(c, "ascending") for c in sort_cols])
-        safe = str(key).replace("/", "_")
+        safe = _safe_key(key)
         d = os.path.join(csv_dir, f"{prefix}_{safe}")
         os.makedirs(d, exist_ok=True)
         cols = [header.get(c, c) for c in g.column_names]
@@ -279,7 +279,7 @@ def _write_sequential_csv(
     try:
         for batch in ordered.iter_batches(batch_format="pyarrow"):
             for key_tbl in _key_slices(batch, key_col):
-                key = str(key_tbl[key_col][0].as_py()).replace("/", "_")
+                key = _safe_key(key_tbl[key_col][0].as_py())
                 if key not in handles:
                     d = os.path.join(csv_dir, f"{prefix}_{key}")
                     os.makedirs(d, exist_ok=True)
@@ -294,6 +294,13 @@ def _write_sequential_csv(
         for h in handles.values():
             h.close()
     return sorted(paths)
+
+
+def _safe_key(key) -> str:
+    """Injective filesystem encoding of a partition key: percent-escape
+    '%' then '/' so distinct keys (e.g. 'FOO/BAR' vs 'FOO_BAR') can never
+    collapse into one partition directory (code-review r2)."""
+    return str(key).replace("%", "%25").replace("/", "%2F")
 
 
 INGEST_STRATEGIES = ("batched-parallel", "isolated-parallel", "unwind-sequential")

@@ -219,7 +219,7 @@ def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
     return top.map_batches(finish, batch_format="pyarrow")
 
 
-def top_parts_by_revenue(sf_dir: str) -> ray.data.Dataset:
+def top_parts_by_revenue(sf_dir: str) -> pd.DataFrame:
     """Top-10 parts by lineitem revenue, with part attributes.
 
     Output: (p_partkey, p_name, p_brand, revenue) — broadcast-join the part

@@ -166,6 +166,12 @@ def ann_lsh_topk(sf_dir: str, n_planes: int = LSH_PLANES) -> ray.data.Dataset:
     of its rows that share a query's bucket, as a streaming partial top-k
     (an IVF-style candidate pruning; recall measured vs brute in tests)."""
     qids, qm = _query_matrix(sf_dir)
+    # the registered DuckDB oracle embeds 64-dim plane literals generated
+    # at import; a different corpus dim would silently diverge from it
+    assert qm.shape[1] == 64, (
+        f"embedding dim {qm.shape[1]} != 64: regenerate ORACLE_SQL"
+        "['ann_lsh_topk'] via _lsh_oracle_sql(dim=...) for this corpus"
+    )
     planes = _lsh_planes(qm.shape[1], n_planes)
     ref = ray.put((qids, qm, planes))
     partials = _read_embeddings(sf_dir).map_batches(
@@ -259,14 +265,15 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
     of dimensionality (LSH bucket occupancy degrades at low n_planes)."""
     import pyarrow.parquet as pq
 
+    # row-group-pushdown filters: only the 16 centroid rows reach the
+    # driver, never the whole embeddings table (code-review r2)
     t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    t = t.filter(
-        pa.compute.and_(
-            pa.compute.greater_equal(t["vec_id"], N_QUERIES),
-            pa.compute.less(t["vec_id"], N_QUERIES + N_CENTROIDS),
-        )
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[
+            ("vec_id", ">=", N_QUERIES),
+            ("vec_id", "<", N_QUERIES + N_CENTROIDS),
+        ],
     )
     cm = np.stack(
         t.sort_by("vec_id")["embedding"].to_pylist()

@@ -109,3 +109,37 @@ def test_empty_right_side():
         num_buckets=4,
     ).to_pandas()
     assert len(inner) == 0
+
+
+def test_zero_row_right_left_join_raises_descriptive():
+    """An all-empty right side reaches per_bucket with no payload rows (Ray
+    materializes no blocks for it), so its schema is unknowable; how='left'
+    must fail LOUDLY instead of silently dropping the right columns — the
+    code-review r2 empty-side scenario.  (inner/semi/anti stay correct:
+    tested in test_empty_right_side.)"""
+    import pytest
+
+    empty = pd.DataFrame(
+        {"ck": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="float64")}
+    )
+    with pytest.raises(Exception, match="produced no blocks"):
+        bucketed_join(
+            ray.data.from_pandas(L),
+            ray.data.from_pandas(empty),
+            "k",
+            right_on="ck",
+            how="left",
+            num_buckets=4,
+        ).to_pandas()
+
+
+def test_blockless_right_left_join_raises():
+    """A right dataset with zero BLOCKS has an unknowable schema; a left
+    join must fail loudly instead of silently dropping the right columns."""
+    import pytest
+
+    blockless = ray.data.from_items([]).map_batches(lambda t: t)
+    with pytest.raises(Exception):
+        bucketed_join(
+            ray.data.from_pandas(L), blockless, "k", how="left", num_buckets=4
+        ).to_pandas()

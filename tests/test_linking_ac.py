@@ -15,12 +15,18 @@ from clangd_to_neo4j_ray.stages.linking import (
 from clangd_to_neo4j_ray.stages.linking_ac import (
     AcFusedExtractLinkPartial, AcLinker)
 
-LUT = {"Alpha": "e1", "Alpha Beta": "e2", "Gamma": "e3", "The Alpha": "e4"}
+LUT = {
+    "Alpha": "e1", "Alpha Beta": "e2", "Gamma": "e3", "The Alpha": "e4",
+    # alias containing '. ': can NEVER match under the per-sentence regex
+    # semantics (the sentence split removes the separator space) — guards
+    # the AC scanner's cross-sentence-hit rejection
+    "St. Louis": "e5",
+}
 
 WORDS = st.sampled_from(
     ["Alpha", "Beta", "Alpha Beta", "Gamma", "it", "works", "for", "x9",
      "The Alpha", "Alpha,", "Alpha-Beta", "(Gamma)", "Alphabet", "Betas",
-     "Alpha.Beta", "The"]
+     "Alpha.Beta", "The", "St. Louis", "St.", "Louis"]
 )
 
 
