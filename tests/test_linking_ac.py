@@ -68,3 +68,20 @@ def test_ac_fused_matches_token_fused():
     rt = FusedExtractLinkPartial(lut, "token")(batch).sort_by(keys)
     ra = AcFusedExtractLinkPartial(lut, "ac")(batch).sort_by(keys)
     assert rt.equals(ra)
+
+
+def test_ac_link_scan_matches_token_link_scan():
+    """Mention-path parity (spans, anchored flags, tagged union) on the
+    fixture corpus — covers the want_mentions=True side of the AC scanner."""
+    from clangd_to_neo4j_ray.stages.linking import LinkScan
+    from clangd_to_neo4j_ray.stages.linking_ac import AcLinkScan
+
+    lut = alias_lookup(make_entities())
+    fx = generate_pages(200, sent_range=(4, 10))
+    batch = pa.table({"url": fx.pages["url"], "text": fx.pages["text"]})
+    keys = [(c, "ascending") for c in
+            ("kind", "url", "start", "end", "subj", "pred", "obj",
+             "evidence_url", "entity_id", "surface")]
+    rt = LinkScan(lut, "token")(batch).sort_by(keys)
+    ra = AcLinkScan(lut, "ac")(batch).sort_by(keys)
+    assert rt.equals(ra)
