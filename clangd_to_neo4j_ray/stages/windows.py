@@ -21,6 +21,8 @@ from .shuffle import grouped_agg, grouped_sum
 
 TUMBLE_US = 3_600_000_000  # 1-hour tumbling windows
 SESSION_GAP_US = 1_800_000_000  # 30-min inactivity gap
+HOP_US = 900_000_000  # hopping windows: 1-hour length, 15-min hop
+N_HOPS = TUMBLE_US // HOP_US  # each event lands in exactly 4 windows
 
 
 def _read_events(sf_dir: str, cols: list[str] | None = None) -> ray.data.Dataset:
@@ -43,6 +45,49 @@ def events_tumbling(sf_dir: str) -> ray.data.Dataset:
                 "window_start_us": pa.array(win, type=pa.int64()),
                 "n": pa.array(np.ones(len(batch), dtype=np.int64)),
                 "v": batch["value"],
+            }
+        )
+        return (
+            t.group_by(["user_id", "window_start_us"])
+            .aggregate([("n", "sum"), ("v", "sum")])
+            .rename_columns(["user_id", "window_start_us", "n", "v"])
+        )
+
+    agg = grouped_sum(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["user_id", "window_start_us"],
+        {"n": "n_events", "v": "sum_value"},
+    )
+    return agg.map_batches(
+        lambda t: round_col(t, "sum_value", 2), batch_format="pyarrow"
+    )
+
+
+def events_hopping(sf_dir: str) -> ray.data.Dataset:
+    """Per (user, 1-hour window hopping every 15 min): count + value sum.
+
+    The sliding-window aggregate the tumbling form can't express: each
+    event is assigned to its TUMBLE_US/HOP_US = 4 overlapping windows by a
+    vectorized 4x replication inside ``map_batches`` (window_start =
+    aligned hop minus k hops), then the same two-phase grouped sum as
+    tumbling — replication factor is the constant window/hop ratio, never
+    a shuffle of overlapping ranges.
+
+    Output: (user_id, window_start_us, n_events, sum_value)."""
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(n), N_HOPS)
+        k = np.tile(np.arange(N_HOPS, dtype=np.int64), n)
+        win = ((ts[idx] // HOP_US) - k) * HOP_US
+        t = pa.table(
+            {
+                "user_id": batch["user_id"].take(pa.array(idx)),
+                "window_start_us": pa.array(win, type=pa.int64()),
+                "n": pa.array(np.ones(len(idx), dtype=np.int64)),
+                "v": batch["value"].take(pa.array(idx)),
             }
         )
         return (
@@ -181,6 +226,14 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY user_id, (epoch_us(ts) // {TUMBLE_US}) * {TUMBLE_US}
+""",
+    "events_hopping": f"""
+SELECT user_id,
+       ((epoch_us(ts) // {HOP_US}) - k.k) * {HOP_US} AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events, range({N_HOPS}) k(k)
+GROUP BY user_id, ((epoch_us(ts) // {HOP_US}) - k.k) * {HOP_US}
 """,
     "events_sessions": f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -23,6 +23,7 @@ NAMES = [
     "enrich_documents",
     "corpus_clean",
     "events_tumbling",
+    "events_hopping",
     "events_sessions",
     "events_type_stats",
     "events_props_stats",
