@@ -74,6 +74,7 @@ from .stages import windows as _win
 for _name, _fn in [
     ("events_tumbling", _win.events_tumbling),
     ("events_hopping", _win.events_hopping),
+    ("events_asof", _win.events_asof),
     ("events_sessions", _win.events_sessions),
     ("events_type_stats", _win.events_type_stats),
     ("events_props_stats", _win.events_props_stats),

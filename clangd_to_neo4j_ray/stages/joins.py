@@ -87,6 +87,49 @@ def _deser_table(buf: bytes) -> pa.Table:
     return pa.ipc.open_stream(pa.BufferReader(buf)).read_all()
 
 
+def _pack_side(side: int, key_cols: list[str], num_buckets: int):
+    """Batch -> (side, bucket, Arrow-IPC payload) rows for the tagged
+    bucket exchange shared by ``bucketed_join`` / ``asof_join``.  Every
+    batch emits a payload row for EVERY bucket (zero-row slices included)
+    so each bucket can reconstruct both sides' schemas even when it holds
+    no rows."""
+    import numpy as np
+
+    from .shuffle import _add_bucket_arrow
+
+    bucketer = _add_bucket_arrow(key_cols, num_buckets)
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = bucketer(batch)
+        order = pc.sort_indices(batch["__bucket"])
+        batch = batch.take(order)
+        bk = batch["__bucket"].to_numpy(zero_copy_only=False)
+        body = batch.drop_columns(["__bucket"])
+        bounds = np.searchsorted(bk, np.arange(num_buckets + 1))
+        payloads = [
+            _ser_table(body.slice(bounds[b], bounds[b + 1] - bounds[b]))
+            for b in range(num_buckets)
+        ]
+        return pa.table(
+            {
+                "__side": pa.array(np.full(num_buckets, side, dtype=np.int8)),
+                "__bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return f
+
+
+def _split_sides(t: pa.Table) -> tuple[list[pa.Table], list[pa.Table]]:
+    """Deserialize one bucket's tagged payload rows into per-side parts."""
+    sides = t["__side"].to_pylist()
+    bufs = t["payload"].to_pylist()
+    l_parts = [_deser_table(b) for b, s in zip(bufs, sides) if s == 0]
+    r_parts = [_deser_table(b) for b, s in zip(bufs, sides) if s == 1]
+    return l_parts, r_parts
+
+
 def bucketed_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -123,10 +166,9 @@ def bucketed_join(
     than Ray's JoinOperator at our scales (see stages/relational.py) — and
     it replaces every driver-side key-set collect the round-1 verdict
     flagged."""
-    import numpy as np
     import polars as pl
 
-    from .shuffle import DEFAULT_BUCKETS, _add_bucket_arrow, _compat
+    from .shuffle import DEFAULT_BUCKETS, _compat
 
     num_buckets = num_buckets or DEFAULT_BUCKETS
     l_on = [on] if isinstance(on, str) else list(on)
@@ -136,43 +178,14 @@ def bucketed_join(
         else ([right_on] if isinstance(right_on, str) else list(right_on))
     )
 
-    def pack(side: int, key_cols: list[str]):
-        bucketer = _add_bucket_arrow(key_cols, num_buckets)
-
-        def f(batch: pa.Table) -> pa.Table:
-            batch = bucketer(batch)
-            order = pc.sort_indices(batch["__bucket"])
-            batch = batch.take(order)
-            bk = batch["__bucket"].to_numpy(zero_copy_only=False)
-            body = batch.drop_columns(["__bucket"])
-            bounds = np.searchsorted(bk, np.arange(num_buckets + 1))
-            payloads = [
-                _ser_table(body.slice(bounds[b], bounds[b + 1] - bounds[b]))
-                for b in range(num_buckets)
-            ]
-            return pa.table(
-                {
-                    "__side": pa.array(
-                        np.full(num_buckets, side, dtype=np.int8)
-                    ),
-                    "__bucket": pa.array(
-                        np.arange(num_buckets, dtype=np.int64)
-                    ),
-                    "payload": pa.array(payloads, type=pa.binary()),
-                }
-            )
-
-        return f
-
-    tagged = left.map_batches(pack(0, l_on), batch_format="pyarrow").union(
-        right.map_batches(pack(1, r_on), batch_format="pyarrow")
+    tagged = left.map_batches(
+        _pack_side(0, l_on, num_buckets), batch_format="pyarrow"
+    ).union(
+        right.map_batches(_pack_side(1, r_on, num_buckets), batch_format="pyarrow")
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        sides = t["__side"].to_pylist()
-        bufs = t["payload"].to_pylist()
-        l_parts = [_deser_table(b) for b, s in zip(bufs, sides) if s == 0]
-        r_parts = [_deser_table(b) for b, s in zip(bufs, sides) if s == 1]
+        l_parts, r_parts = _split_sides(t)
         # a side's parts are missing when that side's dataset materialized
         # zero blocks (empty from_pandas/from_items, or an all-empty result
         # whose empty blocks Ray elides) — its schema is then unknowable
@@ -209,6 +222,79 @@ def bucketed_join(
             else lcols + [c for c in rcols if c not in set(r_on) | shared]
         )
         return _compat(out.select(out_cols).to_arrow())
+
+    return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    by: str | list[str],
+    right_on: str | None = None,
+    strategy: str = "backward",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed as-of join: for each left row, attach the nearest
+    preceding right row (``right[on] <= left[on]``, strategy="backward";
+    "forward" takes the nearest following) within the same ``by`` group.
+    Left rows with no matching right row keep nulls (left-join semantics).
+
+    The temporal-lookup operator the relational joins can't express (its
+    in-batch cousin is the nearest-preceding-anchor containment join of
+    stages/linking.py J4): both sides bucket-hash on ``by`` through the
+    same tagged Arrow-IPC exchange as ``bucketed_join``, then each bucket
+    runs one vectorized ``polars.join_asof`` over the bucket sorted by the
+    ``on`` key.  Never an expanded range join; the only shuffle is the
+    single low-cardinality bucket exchange, so the cost profile matches
+    ``bucketed_join`` regardless of how many right rows precede each left
+    row.
+
+    Tie caveat: when several right rows share the boundary ``on`` value
+    the row supplying the other right columns is engine-defined — ship
+    only the right ``on`` value (plus columns functionally determined by
+    it) when exact cross-engine determinism is required.
+    """
+    import polars as pl
+
+    from .shuffle import DEFAULT_BUCKETS, _compat
+
+    num_buckets = num_buckets or DEFAULT_BUCKETS
+    by_cols = [by] if isinstance(by, str) else list(by)
+    r_on = right_on or on
+
+    tagged = left.map_batches(
+        _pack_side(0, by_cols, num_buckets), batch_format="pyarrow"
+    ).union(
+        right.map_batches(_pack_side(1, by_cols, num_buckets), batch_format="pyarrow")
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        l_parts, r_parts = _split_sides(t)
+        if not l_parts:
+            return pa.table({})  # left blockless: no output rows anywhere
+        lf = pl.from_arrow(pa.concat_tables(l_parts, promote_options="default"))
+        if not r_parts:
+            # right schema unknowable -> null columns can't be typed; the
+            # same loud-failure contract as bucketed_join(how='left')
+            raise ValueError(
+                "asof_join: right dataset produced no blocks, so its schema "
+                "is unknown — give the right side at least one (possibly "
+                "empty) block"
+            )
+        rf = pl.from_arrow(pa.concat_tables(r_parts, promote_options="default"))
+        clash = (set(lf.columns) & set(rf.columns)) - set(by_cols)
+        if clash:
+            raise ValueError(f"non-key column name clash: {sorted(clash)}")
+        out = lf.sort(on).join_asof(
+            rf.sort(r_on),
+            left_on=on,
+            right_on=r_on,
+            by=by_cols,
+            strategy=strategy,
+        )
+        return _compat(out.to_arrow())
 
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
 

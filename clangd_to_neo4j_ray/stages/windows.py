@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.numerics import round_col
@@ -104,6 +105,47 @@ def events_hopping(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(
         lambda t: round_col(t, "sum_value", 2), batch_format="pyarrow"
     )
+
+
+def events_asof(sf_dir: str) -> ray.data.Dataset:
+    """Per purchase event: the most recent prior-or-equal click by the same
+    user, via the distributed as-of join (``stages/joins.asof_join``).
+
+    Output: (event_id, user_id, ts_us, click_ts_us, gap_us) — click columns
+    null when the user never clicked at-or-before the purchase.  Only the
+    click *timestamp* crosses the join (the max prior ts is unique even when
+    several click rows share it), keeping the result engine-independent
+    under boundary ties."""
+    from .joins import asof_join
+
+    def pick(kind: str, cols: dict[str, str]):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], kind))
+            return pa.table(
+                {
+                    out: t[src].cast(pa.int64()) if src == "ts" else t[src]
+                    for src, out in cols.items()
+                }
+            )
+
+        return f
+
+    purchases = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        pick("purchase", {"event_id": "event_id", "user_id": "user_id", "ts": "ts_us"}),
+        batch_format="pyarrow",
+    )
+    clicks = _read_events(sf_dir, ["user_id", "ts", "event_type"]).map_batches(
+        pick("click", {"user_id": "user_id", "ts": "click_ts_us"}),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(purchases, clicks, on="ts_us", right_on="click_ts_us", by="user_id")
+
+    def add_gap(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "gap_us", pc.subtract(t["ts_us"], t["click_ts_us"])
+        )
+
+    return joined.map_batches(add_gap, batch_format="pyarrow")
 
 
 def events_sessions(sf_dir: str) -> ray.data.Dataset:
@@ -234,6 +276,14 @@ SELECT user_id,
        round(sum(value), 2) AS sum_value
 FROM events, range({N_HOPS}) k(k)
 GROUP BY user_id, ((epoch_us(ts) // {HOP_US}) - k.k) * {HOP_US}
+""",
+    "events_asof": """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
     "events_sessions": f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

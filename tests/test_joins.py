@@ -143,3 +143,50 @@ def test_blockless_right_left_join_raises():
         bucketed_join(
             ray.data.from_pandas(L), blockless, "k", how="left", num_buckets=4
         ).to_pandas()
+
+
+def test_asof_join_backward_forward_and_nulls():
+    """asof_join: backward picks the nearest preceding right ts per key
+    (equal ts included), forward the nearest following; keys with no match
+    null-fill; a right key absent on the left contributes nothing."""
+    from clangd_to_neo4j_ray.stages.joins import asof_join
+
+    left = pd.DataFrame(
+        {"u": [1, 1, 2, 3], "t": [10, 25, 7, 5], "eid": [100, 101, 102, 103]}
+    )
+    right = pd.DataFrame({"u": [1, 1, 2, 9], "rt": [10, 20, 8, 1]})
+    back = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="t",
+        right_on="rt",
+        by="u",
+        num_buckets=4,
+    ).to_pandas()
+    exp_back = pd.DataFrame(
+        {
+            "u": [1, 1, 2, 3],
+            "t": [10, 25, 7, 5],
+            "eid": [100, 101, 102, 103],
+            "rt": [10.0, 20.0, None, None],
+        }
+    )
+    _cmp(back, exp_back)
+    fwd = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="t",
+        right_on="rt",
+        by="u",
+        strategy="forward",
+        num_buckets=4,
+    ).to_pandas()
+    exp_fwd = pd.DataFrame(
+        {
+            "u": [1, 1, 2, 3],
+            "t": [10, 25, 7, 5],
+            "eid": [100, 101, 102, 103],
+            "rt": [10.0, None, 8.0, None],
+        }
+    )
+    _cmp(fwd, exp_fwd)

@@ -24,6 +24,7 @@ NAMES = [
     "corpus_clean",
     "events_tumbling",
     "events_hopping",
+    "events_asof",
     "events_sessions",
     "events_type_stats",
     "events_props_stats",
