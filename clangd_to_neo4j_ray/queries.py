@@ -150,5 +150,6 @@ for _name, _fn in [
     ("customer_order_totals", _rel.customer_order_totals),
     ("nation_order_stats", _rel.nation_order_stats),
     ("orders_rank_window", _rel.orders_rank_window),
+    ("lineitem_quantiles", _rel.lineitem_quantiles),
 ]:
     register(_name, _fn, _rel.ORACLE_SQL[_name])

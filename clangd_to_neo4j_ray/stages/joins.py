@@ -287,12 +287,16 @@ def asof_join(
         clash = (set(lf.columns) & set(rf.columns)) - set(by_cols)
         if clash:
             raise ValueError(f"non-key column name clash: {sorted(clash)}")
+        # sortedness IS guaranteed (both frames sorted on the key above);
+        # check_sortedness=False only silences the cannot-check-with-by
+        # UserWarning polars would emit per bucket
         out = lf.sort(on).join_asof(
             rf.sort(r_on),
             left_on=on,
             right_on=r_on,
             by=by_cols,
             strategy=strategy,
+            check_sortedness=False,
         )
         return _compat(out.to_arrow())
 

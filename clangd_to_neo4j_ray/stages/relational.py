@@ -455,7 +455,78 @@ def orders_rank_window(sf_dir: str) -> ray.data.Dataset:
     return bucketed_group_agg(orders, ["o_custkey"], rank)
 
 
+QUANTILE_PS = (0.5, 0.9, 0.99)
+
+
+def lineitem_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact distributed order statistics (p50/p90/p99 of l_quantity per
+    return flag) via two-phase value-count histograms — the aggregate class
+    a plain sum/count reduce can't express.
+
+    Scale pattern: l_quantity has bounded cardinality (~50 distinct), so
+    per-batch (flag, value) counts + one tiny grouped sum replace any
+    global sort; reducer state is O(distinct values), independent of row
+    count.  The final interpolation (type-7 / ``quantile_cont`` semantics:
+    h = p*(n-1), linear between ranks floor(h), ceil(h)) runs on the
+    per-flag histogram — a few dozen rows.
+
+    Output: (l_returnflag, p50, p90, p99) rounded to 2 dp."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "q": batch["l_quantity"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "q"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["l_returnflag", "q", "n"])
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["l_returnflag", "q"],
+        {"n": "n"},
+    )
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("q")
+        vals = g["q"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["n"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+
+        def qc(p: float) -> float:
+            h = p * (n - 1)
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            # value at 0-indexed rank r = first histogram bin with cum > r
+            xlo = vals[np.searchsorted(cum, lo + 1)]
+            xhi = vals[np.searchsorted(cum, hi + 1)]
+            return round(xlo + (h - lo) * (xhi - xlo), 2)
+
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "p50": [qc(QUANTILE_PS[0])],
+                "p90": [qc(QUANTILE_PS[1])],
+                "p99": [qc(QUANTILE_PS[2])],
+            }
+        )
+
+    return counts.groupby("l_returnflag").map_groups(quants, batch_format="pandas")
+
+
 ORACLE_SQL: dict[str, str] = {
+    "lineitem_quantiles": """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 2) AS p90,
+       round(quantile_cont(l_quantity, 0.99), 2) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
     "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

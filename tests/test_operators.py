@@ -35,6 +35,7 @@ NAMES = [
     "customer_order_totals",
     "nation_order_stats",
     "orders_rank_window",
+    "lineitem_quantiles",
 ]
 
 
