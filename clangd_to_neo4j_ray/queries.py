@@ -139,6 +139,11 @@ def _pages_kg_flagship(sf_dir: str):
 
 register("pages_kg_flagship", _pages_kg_flagship)  # rows-only
 
+# --- multimodal plumbing (rows-only: md5 fake decode isn't SQL-shaped) ---
+from .stages import multimodal as _mm
+
+register("multimodal_features", _mm.multimodal_features)  # rows-only
+
 # --- relational operator coverage (TPC-H-ish) ---
 from .stages import relational as _rel
 

@@ -101,6 +101,60 @@ def extract_media_features(
     )
 
 
+def multimodal_features(sf_dir: str) -> ray.data.Dataset:
+    """Driver-visible multimodal pipeline (rows-only check: the md5 fake
+    decode's byte-level uint32 reinterpretation is not reasonably
+    SQL-expressible; determinism is pytest-gated instead).
+
+    The documents' utf-8 text bytes stand in for opaque media payloads
+    (no codec libs in this container — the decode stub is the documented
+    deterministic fake), exercising the real plumbing end to end: binary
+    column in, actor-pool feature extraction at wide-row batch size,
+    payload dropped at the stage boundary.
+
+    Output: (media_id, kind, n_dims, feat_mean)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    kinds = ["image", "audio", "video"]
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array([f"m{i:08d}" for i in ids], type=pa.string()),
+                "kind": pa.array([kinds[i % 3] for i in ids], type=pa.string()),
+                "payload": pa.array(
+                    [(t or "").encode() for t in texts], type=pa.binary()
+                ),
+            }
+        )
+
+    feats = extract_media_features(
+        docs.map_batches(to_media, batch_format="pyarrow")
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        fl = t["features"]
+        means = [
+            round(float(np.mean(v)) if len(v) else 0.0, 6)
+            for v in fl.to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "n_dims": pa.array(
+                    [len(v) for v in fl.to_pylist()], type=pa.int64()
+                ),
+                "feat_mean": pa.array(means, type=pa.float64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media table for tests (binary payloads of varying
     size, typed metadata)."""

@@ -66,3 +66,27 @@ def test_media_feature_plumbing():
     a = {r["media_id"]: list(r["features"]) for r in feats}
     b = {r["media_id"]: list(r["features"]) for r in feats2}
     assert a == b
+
+
+def test_multimodal_features_query(sf_dir):
+    """Driver query: one row per document, stable schema, deterministic
+    md5-fake features across runs."""
+    from clangd_to_neo4j_ray.stages.multimodal import multimodal_features
+
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    a = multimodal_features(sf_dir).to_pandas()
+    b = multimodal_features(sf_dir).to_pandas()
+    assert list(a.columns) == ["media_id", "kind", "n_dims", "feat_mean"]
+    assert len(a) == n_docs
+    assert (a["n_dims"] == 16).all()
+    assert set(a["kind"]) == {"image", "audio", "video"}
+    key = ["media_id"]
+    pda = a.sort_values(key).reset_index(drop=True)
+    pdb = b.sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pda, pdb)
