@@ -61,6 +61,15 @@ for _name, _fn in [
 ]:
     register(_name, _fn, _text.ORACLE_SQL[_name])
 
+# --- deterministic dataset splitting ---
+from .stages import sampling as _sampling
+
+register(
+    "split_train_val",
+    _sampling.split_train_val,
+    _sampling.ORACLE_SQL["split_train_val"],
+)
+
 # --- similarity search ---
 from .stages import similarity as _sim
 

@@ -16,6 +16,7 @@ NAMES = [
     "text_langid",
     "text_token_totals",
     "text_fingerprint",
+    "split_train_val",
     "text_token_bpeish",
     "ann_brute_topk",
     "ann_lsh_topk",
