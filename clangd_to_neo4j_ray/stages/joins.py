@@ -87,12 +87,27 @@ def _deser_table(buf: bytes) -> pa.Table:
     return pa.ipc.open_stream(pa.BufferReader(buf)).read_all()
 
 
-def _pack_side(side: int, key_cols: list[str], num_buckets: int):
+# Reserved bucket id for the per-batch schema-carrier rows (below any real
+# hash bucket).  Its group holds one zero-row payload per batch per side, so
+# it always joins two correctly-typed empty frames and emits one block with
+# the exchange's full output schema — the anchor Ray unifies the occasional
+# zero-column empty blocks (from buckets missing a side) against.
+SCHEMA_BUCKET = -1
+
+
+def _pack_side(side: int, key_cols: list[str], num_buckets: int, emit_all: bool):
     """Batch -> (side, bucket, Arrow-IPC payload) rows for the tagged
-    bucket exchange shared by ``bucketed_join`` / ``asof_join``.  Every
-    batch emits a payload row for EVERY bucket (zero-row slices included)
-    so each bucket can reconstruct both sides' schemas even when it holds
-    no rows."""
+    bucket exchange shared by ``bucketed_join`` / ``asof_join``.
+
+    Emits payload rows only for buckets that actually received rows, plus
+    one zero-row schema-carrier row per batch routed to ``SCHEMA_BUCKET``
+    (ADVICE/VERDICT r2: the previous every-bucket emission made envelope
+    volume O(batches x num_buckets), which forbids the large auto-chosen
+    bucket counts the 100x-scale fix needs).  With ``emit_all=True`` the
+    old behavior is kept — a zero-row slice to every bucket — used only
+    when the OTHER side's rows can need this side's schema in buckets this
+    side never touched and the schema is not statically known (left/as-of
+    joins against a schema-opaque right side)."""
     import numpy as np
 
     from .shuffle import _add_bucket_arrow
@@ -105,20 +120,40 @@ def _pack_side(side: int, key_cols: list[str], num_buckets: int):
         batch = batch.take(order)
         bk = batch["__bucket"].to_numpy(zero_copy_only=False)
         body = batch.drop_columns(["__bucket"])
-        bounds = np.searchsorted(bk, np.arange(num_buckets + 1))
+        if emit_all:
+            bounds = np.searchsorted(bk, np.arange(num_buckets + 1))
+            present = np.arange(num_buckets, dtype=np.int64)
+            starts, counts = bounds[:-1], np.diff(bounds)
+        else:
+            present, starts, counts = np.unique(
+                bk, return_index=True, return_counts=True
+            )
         payloads = [
-            _ser_table(body.slice(bounds[b], bounds[b + 1] - bounds[b]))
-            for b in range(num_buckets)
+            _ser_table(body.slice(s, c)) for s, c in zip(starts, counts)
         ]
+        present = np.append(present, np.int64(SCHEMA_BUCKET))
+        payloads.append(_ser_table(body.schema.empty_table()))
         return pa.table(
             {
-                "__side": pa.array(np.full(num_buckets, side, dtype=np.int8)),
-                "__bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
+                "__side": pa.array(np.full(len(present), side, dtype=np.int8)),
+                "__bucket": pa.array(present.astype(np.int64)),
                 "payload": pa.array(payloads, type=pa.binary()),
             }
         )
 
     return f
+
+
+def _static_schema(ds: ray.data.Dataset) -> pa.Schema | None:
+    """The dataset's Arrow schema if Ray already knows it WITHOUT executing
+    anything (Parquet footer metadata, from_arrow/from_pandas bundles);
+    None for schema-opaque plans (anything behind a UDF)."""
+    try:
+        s = ds.schema(fetch_if_missing=False)
+    except Exception:
+        return None
+    base = getattr(s, "base_schema", None)
+    return base if isinstance(base, pa.Schema) else None
 
 
 def _split_sides(t: pa.Table) -> tuple[list[pa.Table], list[pa.Table]]:
@@ -157,10 +192,14 @@ def bucketed_join(
     left columns only).
 
     The IPC-payload envelope (schema travels inside the payload) means the
-    join NEVER calls ``Dataset.schema()`` — which would execute the whole
-    upstream plan once for inference and again for the join.  Every batch
-    emits a payload row for every bucket (zero-row slices included) so each
-    bucket can reconstruct both sides' schemas even when it holds no rows.
+    join NEVER forces schema inference through a UDF plan — which would
+    execute the whole upstream plan once for inference and again for the
+    join (only ``schema(fetch_if_missing=False)``, a pure metadata read, is
+    consulted).  Batches emit payload rows only for buckets they actually
+    touch, plus one schema-carrier row to ``SCHEMA_BUCKET``, so envelope
+    volume is O(rows + batches), independent of ``num_buckets`` — the
+    auto-sized bucket counts (``auto_num_buckets``; ``num_buckets=None``)
+    stay cheap at any scale.
 
     Same single-exchange layout as ``grouped_agg`` — measured much faster
     than Ray's JoinOperator at our scales (see stages/relational.py) — and
@@ -168,9 +207,9 @@ def bucketed_join(
     flagged."""
     import polars as pl
 
-    from .shuffle import DEFAULT_BUCKETS, _compat
+    from .shuffle import _compat, auto_num_buckets
 
-    num_buckets = num_buckets or DEFAULT_BUCKETS
+    num_buckets = num_buckets or auto_num_buckets(left, right)
     l_on = [on] if isinstance(on, str) else list(on)
     r_on = (
         l_on
@@ -178,35 +217,57 @@ def bucketed_join(
         else ([right_on] if isinstance(right_on, str) else list(right_on))
     )
 
+    # with non-empty-only emission a bucket can hold rows from just one
+    # side; the absent side's schema is reconstructed from static plan
+    # metadata when Ray knows it.  Only how='left' produces REAL rows that
+    # need an absent right schema — when that schema is opaque, fall back
+    # to every-bucket emission for the right side (the documented
+    # O(batches x buckets) envelope cost, on the smaller side).
+    l_schema = _static_schema(left)
+    r_schema = _static_schema(right)
+    r_emit_all = how == "left" and r_schema is None
+
     tagged = left.map_batches(
-        _pack_side(0, l_on, num_buckets), batch_format="pyarrow"
+        _pack_side(0, l_on, num_buckets, False), batch_format="pyarrow"
     ).union(
-        right.map_batches(_pack_side(1, r_on, num_buckets), batch_format="pyarrow")
+        right.map_batches(
+            _pack_side(1, r_on, num_buckets, r_emit_all), batch_format="pyarrow"
+        )
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
         l_parts, r_parts = _split_sides(t)
-        # a side's parts are missing when that side's dataset materialized
-        # zero blocks (empty from_pandas/from_items, or an all-empty result
-        # whose empty blocks Ray elides) — its schema is then unknowable
-        # here; row-correct fallbacks below, loud failure where the output
-        # schema would silently change
+        # a side's parts are missing when no batch of that side touched
+        # this bucket (or the whole side materialized zero blocks).  The
+        # fallbacks below are row-correct; where the output schema is
+        # unknowable they emit a zero-column empty block, which Ray
+        # unifies against the SCHEMA_BUCKET group's fully-typed block.
         if not l_parts:
-            return pa.table({})  # left blockless: empty join in every mode
+            if l_schema is None:
+                return pa.table({})  # untyped empty; schema group anchors
+            l_parts = [l_schema.empty_table()]
         lf = pl.from_arrow(pa.concat_tables(l_parts, promote_options="default"))
         if left_combine is not None:
             lf = left_combine(lf)
         if not r_parts:
-            if how == "left":
+            if r_schema is not None:
+                r_parts = [r_schema.empty_table()]
+            elif how == "left":
                 # emitting lf bare would silently drop the right columns the
-                # caller expects null-filled; fail loudly instead
+                # caller expects null-filled; fail loudly instead (only
+                # reachable when the right dataset produced no blocks at
+                # all — per-bucket misses are covered by r_emit_all)
                 raise ValueError(
                     "bucketed_join(how='left'): right dataset produced no "
                     "blocks, so its schema is unknown — give the right side "
                     "at least one (possibly empty) block"
                 )
-            out = lf if how == "anti" else lf.head(0)
-            return _compat(out.to_arrow())
+            elif how == "anti":
+                return _compat(lf.to_arrow())
+            elif how == "semi":
+                return _compat(lf.head(0).to_arrow())
+            else:
+                return pa.table({})  # inner, right schema unknown: no rows
         rf = pl.from_arrow(pa.concat_tables(r_parts, promote_options="default"))
         if right_combine is not None:
             rf = right_combine(rf)
@@ -258,31 +319,45 @@ def asof_join(
     """
     import polars as pl
 
-    from .shuffle import DEFAULT_BUCKETS, _compat
+    from .shuffle import _compat, auto_num_buckets
 
-    num_buckets = num_buckets or DEFAULT_BUCKETS
+    num_buckets = num_buckets or auto_num_buckets(left, right)
     by_cols = [by] if isinstance(by, str) else list(by)
     r_on = right_on or on
 
+    # as-of keeps left rows with nulls when a bucket has no right rows, so
+    # (like bucketed_join how='left') the right schema must be available in
+    # every left-touched bucket: statically when Ray knows it, else via
+    # every-bucket emission on the right side.
+    l_schema = _static_schema(left)
+    r_schema = _static_schema(right)
+    r_emit_all = r_schema is None
+
     tagged = left.map_batches(
-        _pack_side(0, by_cols, num_buckets), batch_format="pyarrow"
+        _pack_side(0, by_cols, num_buckets, False), batch_format="pyarrow"
     ).union(
-        right.map_batches(_pack_side(1, by_cols, num_buckets), batch_format="pyarrow")
+        right.map_batches(
+            _pack_side(1, by_cols, num_buckets, r_emit_all), batch_format="pyarrow"
+        )
     )
 
     def per_bucket(t: pa.Table) -> pa.Table:
         l_parts, r_parts = _split_sides(t)
         if not l_parts:
-            return pa.table({})  # left blockless: no output rows anywhere
+            if l_schema is None:
+                return pa.table({})  # untyped empty; schema group anchors
+            l_parts = [l_schema.empty_table()]
         lf = pl.from_arrow(pa.concat_tables(l_parts, promote_options="default"))
         if not r_parts:
-            # right schema unknowable -> null columns can't be typed; the
-            # same loud-failure contract as bucketed_join(how='left')
-            raise ValueError(
-                "asof_join: right dataset produced no blocks, so its schema "
-                "is unknown — give the right side at least one (possibly "
-                "empty) block"
-            )
+            if r_schema is None:
+                # right blockless AND schema unknowable -> null columns
+                # can't be typed; same loud contract as bucketed_join left
+                raise ValueError(
+                    "asof_join: right dataset produced no blocks, so its "
+                    "schema is unknown — give the right side at least one "
+                    "(possibly empty) block"
+                )
+            r_parts = [r_schema.empty_table()]
         rf = pl.from_arrow(pa.concat_tables(r_parts, promote_options="default"))
         clash = (set(lf.columns) & set(rf.columns)) - set(by_cols)
         if clash:

@@ -24,6 +24,7 @@ strategy (group rows by FILE so each transaction owns its keys,
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -32,7 +33,79 @@ import pyarrow as pa
 import ray.data
 
 DEFAULT_BUCKETS = 32
+# Hard ceiling on auto-chosen bucket counts: 2^20 buckets x the default
+# 256 MiB target covers a 256 TiB exchange, and the int64 __bucket column
+# stays cheap to range-partition at any count below this.
+MAX_BUCKETS = 1 << 20
 _SEP = "\x1f"
+
+
+def target_bucket_bytes() -> int:
+    """Per-bucket in-memory budget for auto bucket sizing (default 256 MiB;
+    override with ``GRAFT_BUCKET_BYTES`` — tests force tiny budgets to
+    exercise the many-buckets paths at toy scale)."""
+    return int(os.environ.get("GRAFT_BUCKET_BYTES", str(256 << 20)))
+
+
+def dataset_size_hint(ds: ray.data.Dataset) -> int | None:
+    """Driver-side estimate of a Dataset's in-memory bytes WITHOUT executing
+    anything: walk the logical plan down to its leaf Read / InputData
+    operators and sum their metadata estimates (Parquet footer sizes, ref
+    bundle bytes).  The transforms between the leaves and the exchange can
+    grow or shrink the data, so this is a same-order-of-magnitude heuristic
+    — exactly what bucket-count selection needs — not a bound.  Returns
+    None when no leaf carries an estimate (the caller falls back to an
+    explicit ``num_buckets`` or the default)."""
+    try:
+        total, found = 0, False
+        stack = [ds._logical_plan.dag]
+        seen: set[int] = set()
+        while stack:
+            op = stack.pop()
+            if id(op) in seen:
+                continue
+            seen.add(id(op))
+            est = None
+            src = getattr(op, "_datasource", None)
+            if src is not None:
+                est = src.estimate_inmemory_data_size()
+            else:
+                bundles = getattr(op, "input_data", None)
+                if bundles:
+                    est = sum(b.size_bytes() for b in bundles)
+            if est:
+                total += int(est)
+                found = True
+            stack.extend(getattr(op, "input_dependencies", ()))
+        return total if found else None
+    except Exception:
+        return None
+
+
+def auto_num_buckets(
+    *datasets: ray.data.Dataset, default: int = DEFAULT_BUCKETS
+) -> int:
+    """Choose the exchange's bucket count from the inputs' size estimates so
+    one bucket (one in-memory reducer task) stays under
+    ``target_bucket_bytes()`` — the round-2 verdict's engine-wide fix: a
+    fixed 32 buckets puts 1/32 of the data in one task's heap at any input
+    size.  The reference analog is the avg-group-size planning aggregate
+    that sizes transactions (``clangd_symbol_nodes_builder.py:290-307``).
+
+    Floor = ``default`` (keeps small inputs at full 32-way parallelism and
+    makes every pre-existing workload identical below ~8 GiB); ceiling =
+    ``MAX_BUCKETS``.  Inputs with no metadata estimate contribute nothing;
+    if none have one, returns ``default``."""
+    total, found = 0, False
+    for d in datasets:
+        h = dataset_size_hint(d)
+        if h is not None:
+            total += h
+            found = True
+    if not found:
+        return default
+    need = -(-total // max(1, target_bucket_bytes()))
+    return int(min(MAX_BUCKETS, max(default, need)))
 
 # FNV-like odd prime, used as the per-window multiplier in the mix chain.
 _P = 1099511628211
@@ -61,7 +134,13 @@ def _stable_hash64(arr) -> "np.ndarray":
 
     Sampling is deliberate: bucket assignment only needs determinism and
     rough uniformity — a rare collision just co-locates two key groups in
-    one bucket, it never merges them.  Touching ~32 bytes per key instead
+    one bucket, it never merges them.  Known gap (ADVICE r2): keys longer
+    than 32 bytes that share their length and differ ONLY in the bytes
+    between the four sampled windows (e.g. 40-byte IDs varying only at
+    positions 8-9) collide deterministically and serialize into one bucket
+    — keep discriminating bytes near the anchors (start, 1/3, 2/3, end) or
+    pass an explicit salt column when designing such keys.  Touching ~32
+    bytes per key instead
     of every byte keeps the kernel cache-resident: the previous full
     polynomial hash expanded every byte to multiple uint64 temporaries and
     degraded ~17x under 32-way task concurrency (allocation + memory-bus
@@ -139,7 +218,7 @@ def bucketed_group_agg(
     keys: list[str],
     agg: Callable[[pd.DataFrame], pd.DataFrame],
     *,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Group ``ds`` by ``keys`` using the bucketed shuffle, with a PANDAS
     per-bucket aggregation callback (for custom Python logic — pair
@@ -147,7 +226,11 @@ def bucketed_group_agg(
 
     ``agg`` receives one bucket (all rows of every key hashing there) as a
     DataFrame — it must do the per-key aggregation itself (one vectorized
-    ``df.groupby(keys)``) and must NOT assume it sees a single key."""
+    ``df.groupby(keys)``) and must NOT assume it sees a single key.
+
+    ``num_buckets=None`` auto-sizes from the input's size estimate
+    (``auto_num_buckets``)."""
+    num_buckets = num_buckets or auto_num_buckets(ds)
     bucketed = ds.map_batches(
         _add_bucket_arrow(keys, num_buckets), batch_format="pyarrow"
     )
@@ -186,11 +269,13 @@ def grouped_agg(
     keys: list[str],
     spec: dict[str, tuple[str, str]],
     *,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Bucketed named aggregation: ``spec`` maps output column ->
     (input column, agg name in {sum,min,max,size,mean}).  Vectorized polars
-    per-bucket aggregation (no pandas object-dtype round-trip)."""
+    per-bucket aggregation (no pandas object-dtype round-trip).
+    ``num_buckets=None`` auto-sizes from the input's size estimate."""
+    num_buckets = num_buckets or auto_num_buckets(ds)
     exprs = [
         _POLARS_AGGS[fn](col).alias(out) for out, (col, fn) in spec.items()
     ]
@@ -208,7 +293,7 @@ def grouped_sum(
     keys: list[str],
     sums: dict[str, str],
     *,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Bucketed sum aggregation: ``sums`` maps input column -> output name."""
     return grouped_agg(
@@ -225,7 +310,7 @@ def salted_group_sum(
     sums: dict[str, str],
     *,
     num_salts: int = 8,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Explicit salted two-phase aggregation (the north_rule's skew pattern
     spelled out): phase 1 groups by (keys + salt) so a head key's rows are
@@ -237,6 +322,8 @@ def salted_group_sum(
     keys whose partials still dominate a bucket (e.g. one key = 50% of all
     rows).  Results are identical to ``grouped_sum`` (tested)."""
     import numpy as np
+
+    num_buckets = num_buckets or auto_num_buckets(ds)
 
     def add_salt(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -263,12 +350,13 @@ def distinct(
     ds: ray.data.Dataset,
     keys: list[str],
     *,
-    num_buckets: int = DEFAULT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Bucketed exact distinct on the key columns (D2/D3 analog).
 
     Per-batch pre-dedup (combiner) first, so a fact-key column shrinks to
     its per-block distinct set before the exchange."""
+    num_buckets = num_buckets or auto_num_buckets(ds)
 
     def pre_dedup(batch: pa.Table) -> pa.Table:
         return _compat(

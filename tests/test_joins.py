@@ -113,10 +113,11 @@ def test_empty_right_side():
 
 def test_zero_row_right_left_join_raises_descriptive():
     """An all-empty right side reaches per_bucket with no payload rows (Ray
-    materializes no blocks for it), so its schema is unknowable; how='left'
-    must fail LOUDLY instead of silently dropping the right columns — the
-    code-review r2 empty-side scenario.  (inner/semi/anti stay correct:
-    tested in test_empty_right_side.)"""
+    neither reports a static schema for empty pandas bundles nor invokes
+    UDFs on 0-row blocks — verified r3), so its schema stays unknowable;
+    how='left' must fail LOUDLY instead of silently dropping the right
+    columns.  (inner/semi/anti stay correct: tested in
+    test_empty_right_side.)"""
     import pytest
 
     empty = pd.DataFrame(
