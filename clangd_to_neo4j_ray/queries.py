@@ -45,6 +45,7 @@ for _name, _fn in [
     ("dedup_minhash_pairs", _dedup.dedup_minhash_pairs),
     ("dedup_simhash", _dedup.dedup_simhash),
     ("dedup_ngram_jaccard", _dedup.dedup_ngram_jaccard),
+    ("ngram_jaccard_dead_letters", _dedup.ngram_jaccard_dead_letters),
     ("dedup_embedding_pairs", _dedup.dedup_embedding_pairs),
 ]:
     register(_name, _fn, _dedup.ORACLE_SQL[_name])

@@ -134,3 +134,88 @@ def test_embedding_pairs_chunked_equals_brute(tmp_path):
     }
     assert got_set == exp
     assert len(got_set) > 0
+
+
+def test_ngram_jaccard_hot_shingle_chunked_exact(tmp_path, monkeypatch):
+    """VERDICT r2 #2: one shingle shared by 50% of docs.  With
+    POSTING_CHUNK forced tiny the hot posting list expands through the
+    chunk-grid path (peak O(chunk^2) per cell, never the whole p^2 in one
+    temporary) and must still equal brute-force exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for d in range(120):
+        # every even doc shares the bigram "of the"; unique tail per doc
+        text = (
+            f"of the u{d}a u{d}b u{d}c"
+            if d % 2 == 0
+            else f"v{d}a v{d}b v{d}c v{d}d"
+        )
+        rows.append((d, text, "s0"))
+    # plant a real near-dup pair among the hot-shingle docs
+    rows.append((200, "of the same tail words here", "s0"))
+    rows.append((201, "of the same tail words here too", "s0"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    monkeypatch.setattr(dedup, "POSTING_CHUNK", 16)
+    got = dedup.dedup_ngram_jaccard(str(tmp_path)).take_all()
+    got_set = {
+        (r["a_doc"], r["b_doc"], r["n_intersect"], r["n_union"]) for r in got
+    }
+    assert got_set == _brute_jaccard(df)
+    assert (200, 201, 5, 6) in got_set  # the planted pair survives
+
+
+def test_ngram_jaccard_df_cap_and_dead_letters(tmp_path):
+    """The lossy scale mode: df_cap skips hot posting lists, and
+    ngram_jaccard_dead_letters accounts for EXACTLY the skipped shingles
+    (drop-vs-error, SURVEY §7.5).  Capped results must equal brute force
+    computed over the non-hot shingles only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.dedup import JACCARD_DEN, JACCARD_NUM, _doc_shingles
+
+    rows = []
+    for d in range(40):
+        text = f"of the x{d}p x{d}q" if d % 2 == 0 else f"y{d}p y{d}q y{d}r"
+        rows.append((d, text, "s0"))
+    rows.append((100, "of the common tail", "s0"))
+    rows.append((101, "of the common tail again", "s0"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    cap = 5
+    dead = dedup.ngram_jaccard_dead_letters(str(tmp_path), df_cap=cap).take_all()
+    dead_set = {(r["source"], r["s"], r["df"]) for r in dead}
+    # exact expected dead letters: shingle df computed single-process
+    from collections import Counter
+
+    cnt = Counter()
+    for _, r in df.iterrows():
+        for s in _doc_shingles(r["text"], 2):
+            cnt[(r["source"], s)] += 1
+    exp_dead = {(src, s, n) for (src, s), n in cnt.items() if n > cap}
+    assert dead_set == exp_dead and len(dead_set) >= 1
+
+    got = dedup.dedup_ngram_jaccard(str(tmp_path), df_cap=cap).take_all()
+    got_set = {
+        (r["a_doc"], r["b_doc"], r["n_intersect"], r["n_union"]) for r in got
+    }
+    # brute force over capped shingle sets: intersections ignore hot
+    # shingles, but per-doc set sizes (and thus unions) stay exact
+    hot = {s for (_, s), n in cnt.items() if n > cap}
+    docs = sorted(zip(df["doc_id"], df["text"]))
+    sets = [(d, _doc_shingles(t, 2)) for d, t in docs]
+    exp = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            di, si = sets[i]
+            dj, sj = sets[j]
+            ni = len((si & sj) - hot)
+            nu = len(si) + len(sj) - ni
+            if ni >= 1 and JACCARD_DEN * ni >= JACCARD_NUM * nu:
+                exp.add((di, dj, ni, nu))
+    assert got_set == exp
