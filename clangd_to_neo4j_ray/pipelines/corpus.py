@@ -24,47 +24,155 @@ no broadcast of O(corpus) keys — the chain runs at any corpus size.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
 from ..stages.dedup import (
-    _SQL_MINSIG, _SQL_SHINGLES3, _SQL_TOK, dedup_exact, dedup_minhash_pairs)
+    _SQL_MINSIG, _SQL_SHINGLES3, _SQL_TOK, _band_sigs, _read_docs,
+    minhash_pairs_from_sigs)
 from ..stages.joins import bucketed_join
-from ..stages.text import text_quality
+from ..stages.shuffle import grouped_agg
 
 MIN_TOKENS = 20  # drop the shortest ~10% of documents
 TYPE_RATIO_PCT = 35  # keep docs with >= 35% distinct tokens (int-exact)
+
+
+def _doc_profiles(sf_dir: str) -> ray.data.Dataset:
+    """ONE fused corpus scan feeding the whole chain (VERDICT r2 #4: the
+    composed pipeline previously re-read + re-tokenized documents.parquet
+    once per component query).  Per doc: content md5 (exact dedup), token
+    totals (quality gate), and the LSH band signatures as a list column —
+    ~150 bytes/doc vs the full text, so pinning it is cheap and every
+    downstream stage reads the profile, never the corpus."""
+    def prof(batch: pa.Table) -> pa.Table:
+        ids, hashes, ntok, ntyp, sigs = [], [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids.append(doc_id)
+            hashes.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            toks = text.split(" ")
+            ntok.append(len(toks))
+            ntyp.append(len(set(toks)))
+            sigs.append(_band_sigs(text))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text_hash": pa.array(hashes, type=pa.string()),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "n_types": pa.array(ntyp, type=pa.int64()),
+                "sigs": pa.array(sigs, type=pa.list_(pa.string())),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(prof, batch_format="pyarrow").materialize()
+
+
+def _explode_sigs(batch: pa.Table) -> pa.Table:
+    """Profile list column -> (doc_id, band, sig) rows (band = list index;
+    shingle-less docs have empty lists and emit nothing) — byte-identical
+    to ``minhash_signatures`` (tested)."""
+    lens = pc.list_value_length(batch["sigs"]).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    doc_ids = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False), lens
+    )
+    ends = np.cumsum(lens)
+    band = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+        ends - lens, lens
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "band": pa.array(band, type=pa.int64()),
+            "sig": pc.list_flatten(batch["sigs"]),
+        }
+    )
 
 
 def corpus_clean(sf_dir: str) -> ray.data.Dataset:
     """Survivor documents with their quality stats.
 
     Output: (doc_id, n_tokens, n_types), unique on doc_id."""
+    prof = _doc_profiles(sf_dir)
     # reps fans out to three consumers (two semi joins + the anti join); a
-    # lazy Dataset re-executes its whole lineage per consumer, so pin it
-    # once (same rule as build_graph's shared intermediates).  It holds one
+    # lazy Dataset re-executes its exchange per consumer, so pin it once
+    # (same rule as build_graph's shared intermediates).  It holds one
     # doc_id per unique document — ids only, object-store-resident and
     # spillable at any corpus size.
-    reps = dedup_exact(sf_dir).map_batches(
-        lambda t: pa.table({"doc_id": t["rep_doc_id"]}), batch_format="pyarrow"
-    ).materialize()
-    pairs = dedup_minhash_pairs(sf_dir)
-    # candidate pairs whose BOTH endpoints survived exact dedup
-    p1 = bucketed_join(pairs, reps, on="a_doc", right_on="doc_id", how="semi")
-    p2 = bucketed_join(p1, reps, on="b_doc", right_on="doc_id", how="semi")
-    drop = p2.map_batches(
+    reps = (
+        grouped_agg(
+            prof.select_columns(["text_hash", "doc_id"]),
+            ["text_hash"],
+            {"doc_id": ("doc_id", "min")},
+        )
+        .select_columns(["doc_id"])
+        .materialize()
+    )
+    # candidate pairs straight from the per-(band, sig) expansion, WITHOUT
+    # the cross-band distinct a standalone dedup_minhash_pairs pays: every
+    # consumer below is a semi/anti-style membership check, so duplicate
+    # (a, b) rows are harmless — one exchange fewer
+    from ..stages.shuffle import bucketed_group_agg as _bga
+
+    def _expand(g):
+        d = g.drop_duplicates(subset=["band", "sig", "doc_id"])
+        m = d.merge(d, on=["band", "sig"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].rename(
+            columns={"doc_id_x": "a_doc", "doc_id_y": "b_doc"}
+        )
+        return out.drop_duplicates()  # within-bucket combine only
+
+    sigs = prof.select_columns(["doc_id", "sigs"]).map_batches(
+        _explode_sigs, batch_format="pyarrow"
+    )
+    # restrict signatures to exact-dedup representatives BEFORE pair
+    # expansion: every candidate pair then has both endpoints rep by
+    # construction, replacing the r2 chain's two per-endpoint semi-joins
+    # (one exchange instead of two, and the expansion sees fewer rows)
+    rep_sigs = bucketed_join(sigs, reps, on="doc_id", how="semi")
+    pairs = _bga(rep_sigs, ["band", "sig"], _expand)
+    drop = pairs.map_batches(
         lambda t: pa.table({"doc_id": t["b_doc"]}), batch_format="pyarrow"
     )
-    # no standalone distinct: anti-join semantics ignore right-side
-    # duplicates, and the per-bucket unique() combine keeps memory flat —
-    # one exchange fewer
-    survivors = bucketed_join(
-        reps, drop, on="doc_id", how="anti",
-        right_combine=lambda df: df.unique(),
+    # survivors = reps MINUS drop, fused INTO the quality semi-join's
+    # exchange: reps rows (flag +1) and drop rows (flag -1) ride the same
+    # doc_id-keyed exchange, and the right_combine computes the surviving
+    # id set per bucket (min flag == 1 <=> in reps and not dropped) — the
+    # standalone anti-join exchange of the r2 chain is gone
+    def _flag(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "flag", pa.array(np.full(len(t), v, dtype=np.int8))
+            )
+
+        return f
+
+    membership = reps.map_batches(_flag(1), batch_format="pyarrow").union(
+        drop.map_batches(_flag(-1), batch_format="pyarrow")
     )
+
+    def _survivor_ids(df):
+        import polars as pl
+
+        return (
+            df.group_by("doc_id")
+            .agg(pl.col("flag").min().alias("mn"), pl.col("flag").max().alias("mx"))
+            .filter((pl.col("mn") == 1) & (pl.col("mx") == 1))
+            .select("doc_id")
+        )
+
     quality = bucketed_join(
-        text_quality(sf_dir), survivors, on="doc_id", how="semi"
+        prof.select_columns(["doc_id", "n_tokens", "n_types"]),
+        membership,
+        on="doc_id",
+        how="semi",
+        right_combine=_survivor_ids,
     )
 
     def keep(t: pa.Table) -> pa.Table:

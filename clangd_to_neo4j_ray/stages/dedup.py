@@ -88,8 +88,9 @@ def _doc_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _minhash_rows(batch: pa.Table) -> pa.Table:
-    """Per doc: N_BANDS rows (doc_id, band, sig).
+def _band_sigs(text: str) -> list[str]:
+    """LSH band signatures for one document (empty list when it has no
+    shingle).
 
     minhash_i = min over shingles of a 4-hex-char slice of a salted md5:
     slices 0-7 come from md5(shingle), slices 8-15 from md5(shingle||'#')
@@ -97,23 +98,30 @@ def _minhash_rows(batch: pa.Table) -> pa.Table:
     round-1 toy 8-hash/4-band parameters needs a second salted digest).
     Band signature = concat of its r minhashes.  Two md5 per shingle total;
     reproducible in SQL as
-    ``substr(md5(CASE WHEN i<8 THEN s ELSE s||'#' END), 4*(i%8)+1, 4)``."""
-    doc_ids, bands, sigs = [], [], []
+    ``substr(md5(CASE WHEN i<8 THEN s ELSE s||'#' END), 4*(i%8)+1, 4)``.
+    Shared by ``minhash_signatures`` and the fused corpus_clean profile
+    scan so the two can never diverge."""
+    sh = _doc_shingles(text)
+    if not sh:
+        return []
     r = N_MINHASH // N_BANDS
+    digests = [
+        hashlib.md5(s.encode("utf-8")).hexdigest()
+        + hashlib.md5((s + "#").encode("utf-8")).hexdigest()
+        for s in sh
+    ]
+    mins = [min(d[4 * i : 4 * i + 4] for d in digests) for i in range(N_MINHASH)]
+    return [",".join(mins[b * r : (b + 1) * r]) for b in range(N_BANDS)]
+
+
+def _minhash_rows(batch: pa.Table) -> pa.Table:
+    """Per doc: N_BANDS rows (doc_id, band, sig) — see ``_band_sigs``."""
+    doc_ids, bands, sigs = [], [], []
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sh = _doc_shingles(text)
-        if not sh:
-            continue
-        digests = [
-            hashlib.md5(s.encode("utf-8")).hexdigest()
-            + hashlib.md5((s + "#").encode("utf-8")).hexdigest()
-            for s in sh
-        ]
-        mins = [min(d[4 * i : 4 * i + 4] for d in digests) for i in range(N_MINHASH)]
-        for b in range(N_BANDS):
+        for b, sig in enumerate(_band_sigs(text)):
             doc_ids.append(doc_id)
             bands.append(b)
-            sigs.append(",".join(mins[b * r : (b + 1) * r]))
+            sigs.append(sig)
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
@@ -128,12 +136,14 @@ def minhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir).map_batches(_minhash_rows, batch_format="pyarrow")
 
 
-def dedup_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    """Candidate near-dup pairs: docs sharing any (band, sig) bucket.
+def minhash_pairs_from_sigs(sigs: ray.data.Dataset) -> ray.data.Dataset:
+    """Candidate near-dup pairs from a (doc_id, band, sig) signature
+    dataset: docs sharing any (band, sig) bucket.
 
     Output: (a_doc, b_doc) distinct, a_doc < b_doc.  The bucket groupby is
-    the LSH shuffle; pair expansion happens per bucket in map_groups."""
-    sigs = minhash_signatures(sf_dir)
+    the LSH shuffle; pair expansion happens per bucket in map_groups.
+    Factored out of ``dedup_minhash_pairs`` so composed pipelines
+    (corpus_clean) can feed signatures from a shared corpus scan."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized within-bucket pair expansion: self-merge per (band, sig)
@@ -150,6 +160,12 @@ def dedup_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     cand = bucketed_group_agg(sigs, ["band", "sig"], pairs)
     # distinct across buckets (a pair can collide in several bands)
     return distinct(cand, ["a_doc", "b_doc"])
+
+
+def dedup_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Candidate near-dup pairs over the documents table — see
+    ``minhash_pairs_from_sigs``."""
+    return minhash_pairs_from_sigs(minhash_signatures(sf_dir))
 
 
 # ---------------------------------------------------------------------------
