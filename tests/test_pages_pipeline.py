@@ -243,3 +243,48 @@ def test_csv_sink_streams_multipart(tmp_path):
     with open(sorted(page_parts)[0]) as f:
         ids = [line.split(",")[0] for line in f]
     assert ids == sorted(ids)
+
+
+def test_csv_sink_emits_schema_and_import_artifacts(tmp_path):
+    """VERDICT r2 #5: the bulk-CSV sink must complete the offline-import
+    story — schema.cypher lists a uniqueness constraint and a vector index
+    for EVERY node label written (neo4j_manager.py:45-54, 224-239 analog),
+    and import.sh names every node/edge partition directory."""
+    import os
+
+    import pyarrow as pa
+
+    from clangd_to_neo4j_ray.stages.materialize import write_neo4j_bulk_csv
+
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "node_id": ["a", "b", "c", "d"],
+                "label": ["PAGE", "SITE", "PAGE", "ODD/LBL"],
+                "name": ["1", "2", "3", "4"],
+            }
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["a", "b"],
+                "type": ["LINKS", "MENTIONS"],
+                "dst": ["b", "c"],
+            }
+        )
+    )
+    d = str(tmp_path / "neo4j")
+    write_neo4j_bulk_csv(nodes, edges, d)
+    schema = open(os.path.join(d, "schema.cypher")).read()
+    for label in ("PAGE", "SITE", "ODD/LBL"):
+        assert f"FOR (n:`{label}`) REQUIRE n.node_id IS UNIQUE" in schema
+        assert f"FOR (n:`{label}`) ON (n.summaryEmbedding)" in schema
+    assert "vector.similarity_function`: 'cosine'" in schema
+    sh = open(os.path.join(d, "import.sh")).read()
+    assert "neo4j-admin database import full" in sh
+    for part in ("nodes_PAGE", "nodes_SITE", "nodes_ODD%2FLBL",
+                 "edges_LINKS", "edges_MENTIONS"):
+        assert part in sh, part
+        assert os.path.isdir(os.path.join(d, part))
+    assert os.access(os.path.join(d, "import.sh"), os.X_OK)
