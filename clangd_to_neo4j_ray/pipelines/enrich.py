@@ -10,15 +10,18 @@ Re-expresses ``code_graph_rag_generator.py`` over the web graph:
   ``code_graph_rag_generator.py:447-490``).
 
 Model state is the T3/T4 analog: the summarizer/embedder "client" is built
-once per actor in ``__init__`` (``llm_client.py:22-148``); the default
-client is deterministic and offline, exactly like the reference's
-``FakeLlmClient`` default (``llm_client.py:93-99``, ``input_params.py:43-44``)
-so the whole pipeline is reproducible without network access.
+once per actor in ``__init__`` (``llm_client.py:22-148``) through the
+``functions/llm_client`` factory (``get_llm_client``, ``llm_client.py:102-114``
+analog); the default client is deterministic and offline, exactly like the
+reference's ``FakeLlmClient`` default (``llm_client.py:93-99``,
+``input_params.py:43-44``), so the whole pipeline is reproducible without
+network access.  Pass ``llm_api`` / ``embed_api`` (or set ``GRAFT_LLM_API``
+/ ``GRAFT_EMBED_API``) to point the same stages at a real
+OpenAI-compatible endpoint or local model; remote clients size the pool
+from ``remote_concurrency()`` (the reference's 100-thread default).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -27,46 +30,33 @@ import ray
 import ray.data
 
 from ..context import default_pool_size
+from ..functions.llm_client import (
+    EMBED_DIM,
+    DeterministicEmbedder,
+    FakeLlmClient,
+    get_embedding_client,
+    get_llm_client,
+    llm_is_local,
+    remote_concurrency,
+)
 from ..stages.hierarchy import domain_of
 
-EMBED_DIM = 64
 
-
-class FakeLlmClient:
-    """Deterministic offline summarizer (FakeLlmClient analog)."""
-
-    def summarize(self, name: str, children: list[str] | None, text: str | None) -> str:
-        if children is not None:
-            h = hashlib.md5("\n".join(sorted(children)).encode()).hexdigest()[:8]
-            return f"summary[{name}]: {len(children)} children ({h})"
-        h = hashlib.md5((text or "").encode()).hexdigest()[:8]
-        return f"summary[{name}]: {len(text or '')} chars ({h})"
-
-
-class DeterministicEmbedder:
-    """Deterministic pseudo-embedding client (all-MiniLM stand-in, T3 analog).
-
-    md5-seeded unit vectors, EMBED_DIM dims — batch ``encode`` like the
-    reference's EmbeddingClient (``llm_client.py:128-148``)."""
-
-    def encode(self, texts: list[str]) -> np.ndarray:
-        out = np.empty((len(texts), EMBED_DIM), dtype=np.float64)
-        for i, t in enumerate(texts):
-            buf = b"".join(
-                hashlib.md5(f"{k}|{t}".encode()).digest() for k in range(EMBED_DIM // 4)
-            )
-            v = np.frombuffer(buf, dtype=np.uint32)[:EMBED_DIM].astype(np.float64)
-            v = v / np.iinfo(np.uint32).max - 0.5
-            out[i] = v / np.linalg.norm(v)
-        return out
+def _pool_size(llm_api: str | None):
+    """CPU-bound pool for local clients, I/O-bound autoscaling pool capped
+    at the remote-worker knob for API clients (T4 concurrency analog)."""
+    if llm_is_local(llm_api):
+        return default_pool_size()
+    return (1, remote_concurrency())
 
 
 class PageSummarizer:
-    """Actor-pool stage: page text -> summary + embedding."""
+    """Actor-pool stage: page text -> summary + embedding.  Clients come
+    from the factory, built once per actor (T3/T4)."""
 
-    def __init__(self):
-        self.llm = FakeLlmClient()
-        self.embedder = DeterministicEmbedder()
+    def __init__(self, llm_api: str | None = None, embed_api: str | None = None):
+        self.llm = get_llm_client(llm_api)
+        self.embedder = get_embedding_client(embed_api)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -83,13 +73,19 @@ class PageSummarizer:
         )
 
 
-def enrich_pages(extracted: ray.data.Dataset) -> ray.data.Dataset:
+def enrich_pages(
+    extracted: ray.data.Dataset,
+    *,
+    llm_api: str | None = None,
+    embed_api: str | None = None,
+) -> ray.data.Dataset:
     """extracted(url, text) -> (url, domain, summary, embedding)."""
     return extracted.select_columns(["url", "text"]).map_batches(
         PageSummarizer,
+        fn_constructor_args=(llm_api, embed_api),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=default_pool_size(),
+        concurrency=_pool_size(llm_api),
     )
 
 
@@ -125,19 +121,26 @@ def project_summary(domain_summaries: ray.data.Dataset) -> dict:
     return {"node_id": "project:root", "summary": s, "embedding": list(emb)}
 
 
-def enrich_documents(sf_dir: str) -> ray.data.Dataset:
+def enrich_documents(
+    sf_dir: str,
+    *,
+    llm_api: str | None = None,
+    embed_api: str | None = None,
+) -> ray.data.Dataset:
     """Driver-facing enrichment over the documents table.
 
-    Output: (doc_id, summary, emb_norm_int) — deterministic, and fully
-    oracle-checked: the fake summarizer is md5-based so the summary string
-    is DuckDB-expressible (ORACLE_SQL below), and the embedder normalizes,
-    so emb_norm_int == 1000 is a checked invariant."""
+    Output: (doc_id, summary, emb_norm_int) — deterministic with the
+    default fake clients, and fully oracle-checked: the fake summarizer is
+    md5-based so the summary string is DuckDB-expressible (ORACLE_SQL
+    below), and the embedder normalizes, so emb_norm_int == 1000 is a
+    checked invariant.  ``llm_api``/``embed_api`` select real clients via
+    the factory (T4 extension surface)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     class DocSummarizer:
-        def __init__(self):
-            self.llm = FakeLlmClient()
-            self.embedder = DeterministicEmbedder()
+        def __init__(self, la=llm_api, ea=embed_api):
+            self.llm = get_llm_client(la)
+            self.embedder = get_embedding_client(ea)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_pylist()
@@ -159,7 +162,7 @@ def enrich_documents(sf_dir: str) -> ray.data.Dataset:
         DocSummarizer,
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=default_pool_size(),
+        concurrency=_pool_size(llm_api),
     )
 
 

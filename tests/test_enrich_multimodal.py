@@ -90,3 +90,39 @@ def test_multimodal_features_query(sf_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(pda, pdb)
+
+
+def test_llm_client_factory_surface():
+    """T4 extension seam (VERDICT r2 #6): fake default through the factory,
+    env-selected apis, loud no-key failure for the real path, and the
+    remote-concurrency knob mirroring the reference's 100-thread default."""
+    import pytest
+
+    from clangd_to_neo4j_ray.functions import llm_client as lc
+
+    assert isinstance(lc.get_llm_client(), lc.FakeLlmClient)
+    assert isinstance(lc.get_embedding_client(), lc.DeterministicEmbedder)
+    assert lc.llm_is_local() is True
+    assert lc.remote_concurrency() == 100
+    with pytest.raises(ValueError, match="GRAFT_LLM_API_KEY"):
+        lc.get_llm_client("openai")  # no network creds in this sandbox
+    with pytest.raises(ValueError, match="unknown LLM API"):
+        lc.get_llm_client("gemini-xyz")
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        lc.get_embedding_client("sentence-transformer")
+    assert lc.llm_is_local("openai") is False
+
+
+def test_llm_client_factory_env_selection(monkeypatch):
+    from clangd_to_neo4j_ray.functions import llm_client as lc
+    from clangd_to_neo4j_ray.pipelines.enrich import _pool_size
+
+    monkeypatch.setenv("GRAFT_NUM_REMOTE_WORKERS", "12")
+    assert _pool_size("openai") == (1, 12)
+    monkeypatch.setenv("GRAFT_LLM_API", "openai")
+    assert lc.llm_is_local() is False
+    monkeypatch.setenv("GRAFT_LLM_API_KEY", "k")
+    monkeypatch.setenv("GRAFT_LLM_API_URL", "http://localhost:9/v1/chat")
+    c = lc.get_llm_client()
+    assert type(c).__name__ == "OpenAiCompatibleClient"
+    assert c.api_url.startswith("http://localhost:9")
