@@ -136,18 +136,17 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
     )
 
     def summarize(t: pa.Table) -> pa.Table:
-        fl = t["features"]
+        # one list-column materialization serves both stats (ADVICE r2:
+        # to_pylist twice doubled the per-batch Python-object cost)
+        vals = t["features"].to_pylist()
         means = [
-            round(float(np.mean(v)) if len(v) else 0.0, 6)
-            for v in fl.to_pylist()
+            round(float(np.mean(v)) if len(v) else 0.0, 6) for v in vals
         ]
         return pa.table(
             {
                 "media_id": t["media_id"],
                 "kind": t["kind"],
-                "n_dims": pa.array(
-                    [len(v) for v in fl.to_pylist()], type=pa.int64()
-                ),
+                "n_dims": pa.array([len(v) for v in vals], type=pa.int64()),
                 "feat_mean": pa.array(means, type=pa.float64()),
             }
         )

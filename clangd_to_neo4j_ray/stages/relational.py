@@ -505,7 +505,13 @@ def lineitem_quantiles(sf_dir: str) -> ray.data.Dataset:
             # value at 0-indexed rank r = first histogram bin with cum > r
             xlo = vals[np.searchsorted(cum, lo + 1)]
             xhi = vals[np.searchsorted(cum, hi + 1)]
-            return round(xlo + (h - lo) * (xhi - xlo), 2)
+            # DuckDB round() is half AWAY FROM ZERO; builtin round() is
+            # half-to-even and silently diverges on .xx5 boundaries
+            # (ADVICE r2) — every oracle-matched rounding goes through
+            # round_half_away (functions/numerics convention)
+            from ..functions.numerics import round_half_away
+
+            return round_half_away(xlo + (h - lo) * (xhi - xlo), 2)
 
         return pd.DataFrame(
             {
