@@ -62,6 +62,16 @@ for _name, _fn in [
 ]:
     register(_name, _fn, _text.ORACLE_SQL[_name])
 
+# --- training-batch assembly (sequence packing + per-group top-k) ---
+from .stages import packing as _packing
+
+for _name, _fn in [
+    ("pack_sequences", _packing.pack_sequences),
+    ("pack_stats", _packing.pack_stats),
+    ("top_docs_per_source", _packing.top_docs_per_source),
+]:
+    register(_name, _fn, _packing.ORACLE_SQL[_name])
+
 # --- deterministic dataset splitting ---
 from .stages import sampling as _sampling
 
