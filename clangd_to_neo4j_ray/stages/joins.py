@@ -76,6 +76,107 @@ def broadcast_anti_join(
     return left.map_batches(f, batch_format="pyarrow")
 
 
+def broadcast_bytes_limit() -> int:
+    """Size-hint ceiling for choosing a broadcast join side (default
+    64 MiB; ``GRAFT_BROADCAST_BYTES`` overrides)."""
+    import os
+
+    return int(os.environ.get("GRAFT_BROADCAST_BYTES", str(64 << 20)))
+
+
+def auto_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    *,
+    how: str = "semi",
+    broadcast_limit: int | None = None,
+) -> ray.data.Dataset:
+    """Semi/anti join picking broadcast vs bucketed by the right side's
+    plan-level size estimate (the planner decision the north_rule's
+    "broadcast small sides, shuffle large ones" rule calls for, and the
+    same threshold pattern as ``graph_algo.reachable_from_ds``).
+
+    Right side under the limit: its key column is collected once and
+    shipped as an ``is_in`` value set — zero exchanges, the sequential-
+    latency win for dimension filters (a bucketed exchange costs ~1-3 s
+    of fixed latency at any size, measured r3).  Over the limit (or
+    unknowable): the bucketed exchange, unbounded-size safe."""
+    r_on = right_on or on
+    hint = None
+    from .shuffle import dataset_size_hint
+
+    hint = dataset_size_hint(right)
+    limit = broadcast_limit if broadcast_limit is not None else broadcast_bytes_limit()
+    if hint is not None and hint <= limit:
+        keys = [
+            r[r_on] for r in right.select_columns([r_on]).take_all()
+        ]
+        if how == "semi":
+            return broadcast_semi_join(left, on, keys)
+        if how == "anti":
+            return broadcast_anti_join(left, on, keys)
+        raise ValueError(f"auto_semi_join supports semi/anti, got {how!r}")
+    return bucketed_join(left, right, on=on, right_on=r_on, how=how)
+
+
+def auto_membership_marker(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    *,
+    marker: str = "in_right",
+    broadcast_limit: int | None = None,
+) -> ray.data.Dataset:
+    """``left`` plus a boolean ``marker`` column: whether ``left[on]``
+    appears in ``right[right_on]`` — the keep-both-populations cousin of
+    ``auto_semi_join`` (A8 orphan-marking semantics), with the same
+    broadcast-vs-bucketed planner choice by the right side's size hint."""
+    r_on = right_on or on
+    from .shuffle import dataset_size_hint
+
+    hint = dataset_size_hint(right)
+    limit = (
+        broadcast_limit if broadcast_limit is not None else broadcast_bytes_limit()
+    )
+    if hint is not None and hint <= limit:
+        ks = ray.put(
+            pa.array(
+                sorted({r[r_on] for r in right.select_columns([r_on]).take_all()})
+            )
+        )
+
+        def mark(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                marker, pc.is_in(batch[on], value_set=ray.get(ks))
+            )
+
+        return left.map_batches(mark, batch_format="pyarrow")
+
+    import polars as pl
+
+    joined = bucketed_join(
+        left,
+        right.select_columns([r_on]),
+        on=on,
+        right_on=r_on,
+        how="left",
+        right_combine=lambda df: df.unique().with_columns(
+            pl.lit(1).cast(pl.Int8).alias("__has")
+        ),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = batch.append_column(
+            marker, pc.is_valid(batch["__has"])
+        )
+        return out.drop_columns(["__has"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _ser_table(tbl: pa.Table) -> bytes:
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, tbl.schema) as w:

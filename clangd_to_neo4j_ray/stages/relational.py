@@ -171,8 +171,14 @@ def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-    orders_f = bucketed_join(
-        orders, cust, on="o_custkey", right_on="c_custkey", how="semi"
+    # planner choice (r3): the filtered-segment customer keys broadcast as
+    # an is_in set while the customer table's size hint is under the
+    # broadcast limit, dropping one sequential exchange; past the limit
+    # the same call degrades to the bucketed semi-join
+    from .joins import auto_semi_join
+
+    orders_f = auto_semi_join(
+        orders, cust, "o_custkey", "c_custkey", how="semi"
     ).select_columns(["o_orderkey", "o_orderdate"])
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -286,18 +292,17 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    marked = bucketed_join(
-        cust,
-        okey_partials,
-        on="c_custkey",
-        right_on="o_custkey",
-        how="left",
-        right_combine=lambda df: df.unique().with_columns(
-            pl.lit(1).cast(pl.Int8).alias("__has")
-        ),
+    # planner choice (r3): membership marker broadcasts the (pre-deduped)
+    # fact keys while the orders size hint is under the broadcast limit;
+    # past it, the same call runs the bucketed LEFT join with the marker
+    # combine — no fact column ever lands on the driver either way
+    from .joins import auto_membership_marker
+
+    marked = auto_membership_marker(
+        cust, okey_partials, "c_custkey", "o_custkey"
     ).map_batches(
         lambda t: t.append_column(
-            "w", pc.is_null(t["__has"]).cast(pa.int64())
+            "w", pc.cast(pc.invert(t["in_right"]), pa.int64())
         ),
         batch_format="pyarrow",
     )

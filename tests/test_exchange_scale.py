@@ -203,3 +203,39 @@ def test_envelope_rows_scale_with_data_not_buckets():
     assert -1 in buckets  # schema carrier present
     empty_out = _pack_side(0, ["k"], 100_000, False)(batch.slice(0, 0))
     assert len(empty_out) == 1 and empty_out["__bucket"].to_pylist() == [-1]
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_auto_semi_join_paths_agree(how):
+    """auto_semi_join must give identical rows on the broadcast path
+    (limit huge) and the bucketed path (limit 0 forces the exchange)."""
+    from clangd_to_neo4j_ray.stages.joins import auto_semi_join
+
+    lds = ray.data.from_pandas(L)
+    rds = ray.data.from_pandas(R)
+    a = auto_semi_join(
+        lds, rds, "k", "ck", how=how, broadcast_limit=1 << 40
+    ).to_pandas()
+    b = auto_semi_join(
+        lds, rds, "k", "ck", how=how, broadcast_limit=0
+    ).to_pandas()
+    exp = L[L.k.isin(R.ck)] if how == "semi" else L[~L.k.isin(R.ck)]
+    _cmp(a, exp)
+    _cmp(b, exp)
+
+
+def test_auto_membership_marker_paths_agree():
+    from clangd_to_neo4j_ray.stages.joins import auto_membership_marker
+
+    lds = ray.data.from_pandas(L)
+    rds = ray.data.from_pandas(R)
+    for lim in (1 << 40, 0):
+        got = (
+            auto_membership_marker(lds, rds, "k", "ck", broadcast_limit=lim)
+            .to_pandas()
+            .sort_values(["k", "a"])
+            .reset_index(drop=True)
+        )
+        assert got["in_right"].tolist() == L.sort_values(["k", "a"])["k"].isin(
+            R.ck
+        ).tolist()
