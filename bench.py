@@ -233,6 +233,11 @@ def scaling(
     # hits every leg alike; min-of-rounds per leg then compares like with
     # like instead of one leg's quiet minute against another's busy one.
     legs = {"lo": (lo, 0), "lo_env": (lo, hi - lo), "hi": (hi, 0)}
+    if os.environ.get("SCALE_NO_ENV_LEG"):
+        # for runs where BOTH legs under-subscribe the box (e.g. 4 vs 16 of
+        # 32 cores) the legs already share a frequency envelope and the
+        # spinner leg adds nothing but wall time (VERDICT r2 #7)
+        del legs["lo_env"]
     runs: dict[str, list[dict]] = {k: [] for k in legs}
     for _ in range(repeats):
         for k, (ncpu, spin) in legs.items():
@@ -240,27 +245,29 @@ def scaling(
     best = {k: min(v, key=lambda r: r["value"]) for k, v in runs.items()}
     all_sec = {k: [r["value"] for r in v] for k, v in runs.items()}
     eff = (best["lo"]["value"] / best["hi"]["value"]) / (hi / lo)
-    eff_env = (best["lo_env"]["value"] / best["hi"]["value"]) / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "sec_lo": best["lo"]["value"],
-                "sec_lo_fixed_envelope": best["lo_env"]["value"],
-                "sec_hi": best["hi"]["value"],
-                "cpus_lo": lo,
-                "cpus_hi": hi,
-                "throughput_lo_pages_per_sec": best["lo"]["pages_per_sec"],
-                "throughput_lo_fixed_envelope_pages_per_sec": best["lo_env"]["pages_per_sec"],
-                "throughput_hi_pages_per_sec": best["hi"]["pages_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-                "scaling_efficiency_fixed_envelope": round(eff_env, 3),
-                "all_sec_lo": all_sec["lo"],
-                "all_sec_lo_fixed_envelope": all_sec["lo_env"],
-                "all_sec_hi": all_sec["hi"],
-                "n_pages": int(scale_pages),
-            }
+    out = {
+        "sec_lo": best["lo"]["value"],
+        "sec_hi": best["hi"]["value"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "throughput_lo_pages_per_sec": best["lo"]["pages_per_sec"],
+        "throughput_hi_pages_per_sec": best["hi"]["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "all_sec_lo": all_sec["lo"],
+        "all_sec_hi": all_sec["hi"],
+        "n_pages": int(scale_pages),
+    }
+    if "lo_env" in best:
+        eff_env = (best["lo_env"]["value"] / best["hi"]["value"]) / (hi / lo)
+        out.update(
+            sec_lo_fixed_envelope=best["lo_env"]["value"],
+            throughput_lo_fixed_envelope_pages_per_sec=best["lo_env"][
+                "pages_per_sec"
+            ],
+            scaling_efficiency_fixed_envelope=round(eff_env, 3),
+            all_sec_lo_fixed_envelope=all_sec["lo_env"],
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
