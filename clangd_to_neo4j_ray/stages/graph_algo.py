@@ -75,19 +75,40 @@ def reachable_from_ds(
             hits = bucketed_join(
                 edges, frontier, on=src_col, right_on="node", how="semi"
             )
-        dsts = distinct(
-            hits.map_batches(
-                lambda t: pa.table({"node": t[dst_col]}), batch_format="pyarrow"
+        # per-batch-unique destinations, pinned WITHOUT an exchange; its
+        # row count (sum of per-batch uniques) upper-bounds the true
+        # frontier, checked BEFORE anything is collected
+        dsts_raw = hits.map_batches(
+            lambda t: pa.table(
+                {"node": pc.unique(t[dst_col].combine_chunks())}
             ),
-            ["node"],
-        )
-        if n_visited <= broadcast_threshold:
-            from .joins import broadcast_anti_join
-
-            seen = [r["node"] for r in visited.take_all()]
-            new = broadcast_anti_join(dsts, "node", seen).materialize()
+            batch_format="pyarrow",
+        ).materialize()
+        if (
+            dsts_raw.count() <= broadcast_threshold
+            and n_visited <= broadcast_threshold
+        ):
+            # zero-exchange hop: dedup + anti on the driver (both sets
+            # verified small first — unlike the r2 code, which collected
+            # unconditionally)
+            seen = {r["node"] for r in visited.take_all()}
+            new_nodes = sorted(
+                {r["node"] for r in dsts_raw.take_all()} - seen
+            )
+            new = ray.data.from_arrow(
+                pa.table({"node": pa.array(new_nodes)})
+            ).materialize()
         else:
-            new = bucketed_join(dsts, visited, on="node", how="anti").materialize()
+            dsts = distinct(dsts_raw, ["node"])
+            if n_visited <= broadcast_threshold:
+                from .joins import broadcast_anti_join
+
+                seen_l = [r["node"] for r in visited.take_all()]
+                new = broadcast_anti_join(dsts, "node", seen_l).materialize()
+            else:
+                new = bucketed_join(
+                    dsts, visited, on="node", how="anti"
+                ).materialize()
         n_frontier = new.count()
         if not n_frontier:
             break
