@@ -69,6 +69,7 @@ for _name, _fn in [
     ("pack_sequences", _packing.pack_sequences),
     ("pack_stats", _packing.pack_stats),
     ("top_docs_per_source", _packing.top_docs_per_source),
+    ("quality_filter_p10", _packing.quality_filter_p10),
 ]:
     register(_name, _fn, _packing.ORACLE_SQL[_name])
 
@@ -79,6 +80,11 @@ register(
     "split_train_val",
     _sampling.split_train_val,
     _sampling.ORACLE_SQL["split_train_val"],
+)
+register(
+    "sample_stratified",
+    _sampling.sample_stratified,
+    _sampling.ORACLE_SQL["sample_stratified"],
 )
 
 # --- similarity search ---

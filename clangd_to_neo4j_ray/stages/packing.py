@@ -152,6 +152,69 @@ def top_docs_per_source(sf_dir: str, *, k: int = TOP_K) -> ray.data.Dataset:
     return bucketed_group_agg(partials, ["source"], final_topk)
 
 
+QUALITY_P = 0.1  # drop docs below the per-source 10th percentile of length
+
+
+def quality_filter_p10(sf_dir: str) -> ray.data.Dataset:
+    """Per-source percentile quality gate: keep docs whose token count is
+    at least the source's 10th-percentile token count (discrete quantile,
+    DuckDB ``quantile_disc`` rank rule: 0-indexed ceil(q*n)-1).
+
+    Output: (source, doc_id, n_tokens).  Plan: ONE bucketed exchange —
+    per-batch partial (source, n_tokens) histograms combine per source
+    into the exact discrete quantile inside the bucket (the
+    ``lineitem_quantiles`` value-count pattern, generalized per group);
+    the resulting per-source thresholds are bounded by source cardinality
+    (the family's stated blocking-key assumption) and broadcast into a
+    vectorized filter — no second wide operation."""
+    tok = _doc_tokens(sf_dir).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["source", "n_tokens"])
+            .group_by(["source", "n_tokens"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "n_tokens", "cnt"])
+        )
+
+    def bucket_thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, grp in g.groupby("source", sort=False):
+            grp = (
+                grp.groupby("n_tokens", as_index=False)["cnt"].sum()
+            ).sort_values("n_tokens")
+            cnt = grp["cnt"].to_numpy(np.int64)
+            n = int(cnt.sum())
+            rank = max(int(np.ceil(QUALITY_P * n)) - 1, 0)
+            cum = np.cumsum(cnt)
+            val = grp["n_tokens"].to_numpy(np.int64)[
+                np.searchsorted(cum, rank + 1)
+            ]
+            rows.append((src, int(val)))
+        return pd.DataFrame(rows, columns=["source", "p10"])
+
+    th = bucketed_group_agg(
+        tok.map_batches(hist_partial, batch_format="pyarrow"),
+        ["source"],
+        bucket_thresholds,
+    )
+    p10 = {r["source"]: r["p10"] for r in th.take_all()}
+    import ray as _ray
+
+    ref = _ray.put(p10)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = _ray.get(ref)
+        thr = pa.array(
+            [m[s] for s in batch["source"].to_pylist()], type=pa.int64()
+        )
+        return batch.filter(pc.greater_equal(batch["n_tokens"], thr))
+
+    return tok.map_batches(keep, batch_format="pyarrow")
+
+
 def _pack_oracle(budget: int) -> str:
     # DuckDB has no native greedy-fill window; express the identical greedy
     # recursion per source with a recursive CTE over doc_id order.  Bounded
@@ -202,6 +265,20 @@ SELECT source, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM packed GROUP BY source
+""",
+    "quality_filter_p10": f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+q AS (
+  SELECT source, quantile_disc(n_tokens, {QUALITY_P}) AS p10
+  FROM t GROUP BY source
+)
+SELECT t.source, t.doc_id, t.n_tokens
+FROM t JOIN q USING (source)
+WHERE t.n_tokens >= q.p10
 """,
     "top_docs_per_source": f"""
 WITH t AS (

@@ -43,7 +43,68 @@ def split_train_val(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+SAMPLE_SEED = "sample0"
+SAMPLE_PER_SOURCE = 10
+
+
+def sample_stratified(
+    sf_dir: str, *, n_per_source: int = SAMPLE_PER_SOURCE
+) -> ray.data.Dataset:
+    """Deterministic uniform sample of ``n_per_source`` docs per source.
+
+    Rank docs within each source by (md5(doc_id||seed), doc_id) and keep
+    the first n — a seeded uniform draw that is stable across runs and
+    repartitioning (same md5-hex convention as ``split_train_val``, so the
+    oracle's row_number() ordering matches exactly).  Output:
+    (doc_id, source).
+
+    Scale: per-batch partial top-n first (each block ships at most n rows
+    per source), then one bucketed exchange keyed on source — the same
+    bounded-reducer plan as ``packing.top_docs_per_source``."""
+    import pandas as pd
+
+    from .shuffle import bucketed_group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        rk = [
+            hashlib.md5(f"{i}|{SAMPLE_SEED}".encode()).hexdigest()
+            for i in batch["doc_id"].to_pylist()
+        ]
+        return batch.append_column("rk", pa.array(rk, type=pa.string()))
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "rk", "doc_id"])
+        return df.groupby("source", sort=False).head(n_per_source)
+
+    partials = ds.map_batches(keyed, batch_format="pyarrow").map_batches(
+        lambda t: pa.Table.from_pandas(
+            head_n(t.to_pandas()), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return head_n(g)[["doc_id", "source"]].reset_index(drop=True)
+
+    return bucketed_group_agg(partials, ["source"], final)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "sample_stratified": f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|{SAMPLE_SEED}'), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= {SAMPLE_PER_SOURCE}
+""",
     "split_train_val": f"""
 SELECT doc_id, source,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|{SPLIT_SEED}'), 1, 2)

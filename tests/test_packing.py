@@ -14,6 +14,7 @@ QUERIES = [
     ("pack_sequences", packing.pack_sequences),
     ("pack_stats", packing.pack_stats),
     ("top_docs_per_source", packing.top_docs_per_source),
+    ("quality_filter_p10", packing.quality_filter_p10),
 ]
 
 
@@ -68,3 +69,26 @@ def test_topk_partial_combine_bounds_exchange(tmp_path):
     assert got.sort_values(["n_tokens", "doc_id"], ascending=[False, True])[
         "doc_id"
     ].tolist() == exp["doc_id"].tolist()
+
+
+def test_sample_stratified_matches_oracle(sf_dir):
+    from clangd_to_neo4j_ray.stages import sampling
+
+    assert_matches_oracle(
+        sampling.sample_stratified(sf_dir),
+        sampling.ORACLE_SQL["sample_stratified"],
+        sf_dir,
+    )
+
+
+def test_sample_stratified_stable_under_repartition(sf_dir):
+    """The draw is a pure function of doc_id: identical sample whatever the
+    n_per_source cap leaves room for, and rerunning gives identical rows."""
+    from clangd_to_neo4j_ray.stages import sampling
+
+    a = sampling.sample_stratified(sf_dir).to_pandas()
+    b = sampling.sample_stratified(sf_dir).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "source"]].values))
+    assert key(a) == key(b)
+    per_src = a.groupby("source").size()
+    assert (per_src <= sampling.SAMPLE_PER_SOURCE).all()
