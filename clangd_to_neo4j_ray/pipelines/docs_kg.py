@@ -114,11 +114,21 @@ def kg_mentions(sf_dir: str) -> ray.data.Dataset:
     """Per-document mention counts of dictionary entities.
 
     Output: (doc_id, entity_id, name, n_mentions).
-    """
+
+    ZERO exchanges (r3): a document is one row and ``map_batches`` never
+    splits a row across batches, so each batch holds every token of its
+    docs and the per-batch (doc_id, name) counts are already globally
+    complete — the r2 plan's grouped_sum merged nothing.  The operator is
+    a pure streaming scan."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     partials = ds.map_batches(_mention_partials, batch_format="pyarrow")
-    agg = grouped_sum(partials, ["doc_id", "name"], {"n": "n_mentions"})
-    return agg.map_batches(_add_entity_id_for("name"), batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "name", "n_mentions"])
+
+    return partials.map_batches(rename, batch_format="pyarrow").map_batches(
+        _add_entity_id_for("name"), batch_format="pyarrow"
+    )
 
 
 def _add_entity_id_for(name_col: str, id_col: str = "entity_id"):
@@ -141,10 +151,12 @@ def kg_entity_nodes(sf_dir: str) -> ray.data.Dataset:
     rows (one row per (doc, name) after the first aggregation).
     """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
+    # the per-batch partials are already one complete row per (doc, name)
+    # (doc atomicity — see kg_mentions), so the r2 per-doc merge exchange
+    # is skipped and the single remaining exchange is the per-entity one
     partials = ds.map_batches(_mention_partials, batch_format="pyarrow")
-    per_doc = grouped_sum(partials, ["doc_id", "name"], {"n": "n"})
     per_entity = grouped_agg(
-        per_doc,
+        partials,
         ["name"],
         {"n_mentions": ("n", "sum"), "n_docs": ("n", "size")},
     )
