@@ -345,17 +345,55 @@ def nation_order_stats(sf_dir: str) -> ray.data.Dataset:
     import polars as pl
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    # per-customer combine fuses into the join exchange (same key)
-    joined = bucketed_join(
-        orders.map_batches(partials, batch_format="pyarrow"),
-        cust,
-        on="o_custkey",
-        right_on="c_custkey",
-        how="inner",
-        left_combine=lambda df: df.group_by("o_custkey").agg(
-            pl.col("n").sum(), pl.col("v").sum()
-        ),
-    )
+    from .joins import broadcast_bytes_limit
+    from .shuffle import dataset_size_hint
+
+    hint = dataset_size_hint(cust)
+    if hint is not None and hint <= broadcast_bytes_limit():
+        # planner choice (r3): while the customer map fits the broadcast
+        # budget, attach c_nationkey per batch and re-partial by nation —
+        # the whole query collapses to ONE 25-key exchange.  Past the
+        # budget the bucketed join below is the unbounded-size plan.
+        import ray as _ray
+
+        cmap = dict(
+            zip(
+                *(
+                    lambda df: (df["c_custkey"], df["c_nationkey"])
+                )(cust.to_pandas())
+            )
+        )
+        ref = _ray.put(cmap)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m = _ray.get(ref)
+            nk = pa.array(
+                [m[k] for k in batch["o_custkey"].to_pylist()]
+            )
+            t = pa.table(
+                {"c_nationkey": nk, "n": batch["n"], "v": batch["v"]}
+            )
+            return (
+                t.group_by("c_nationkey")
+                .aggregate([("n", "sum"), ("v", "sum")])
+                .rename_columns(["c_nationkey", "n", "v"])
+            )
+
+        joined = orders.map_batches(
+            partials, batch_format="pyarrow"
+        ).map_batches(attach, batch_format="pyarrow")
+    else:
+        # per-customer combine fuses into the join exchange (same key)
+        joined = bucketed_join(
+            orders.map_batches(partials, batch_format="pyarrow"),
+            cust,
+            on="o_custkey",
+            right_on="c_custkey",
+            how="inner",
+            left_combine=lambda df: df.group_by("o_custkey").agg(
+                pl.col("n").sum(), pl.col("v").sum()
+            ),
+        )
     per_nation = grouped_agg(
         joined,
         ["c_nationkey"],

