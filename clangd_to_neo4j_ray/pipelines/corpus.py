@@ -50,6 +50,7 @@ def _doc_profiles(sf_dir: str) -> ray.data.Dataset:
     downstream stage reads the profile, never the corpus."""
     def prof(batch: pa.Table) -> pa.Table:
         ids, hashes, ntok, ntyp, sigs = [], [], [], [], []
+        memo: dict[str, str] = {}  # per-batch shingle-digest memo
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
@@ -58,7 +59,7 @@ def _doc_profiles(sf_dir: str) -> ray.data.Dataset:
             toks = text.split(" ")
             ntok.append(len(toks))
             ntyp.append(len(set(toks)))
-            sigs.append(_band_sigs(text))
+            sigs.append(_band_sigs(text, memo))
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

@@ -88,7 +88,7 @@ def _doc_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _band_sigs(text: str) -> list[str]:
+def _band_sigs(text: str, memo: dict | None = None) -> list[str]:
     """LSH band signatures for one document (empty list when it has no
     shingle).
 
@@ -105,11 +105,26 @@ def _band_sigs(text: str) -> list[str]:
     if not sh:
         return []
     r = N_MINHASH // N_BANDS
-    digests = [
-        hashlib.md5(s.encode("utf-8")).hexdigest()
-        + hashlib.md5((s + "#").encode("utf-8")).hexdigest()
-        for s in sh
-    ]
+    if memo is None:
+        digests = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            + hashlib.md5((s + "#").encode("utf-8")).hexdigest()
+            for s in sh
+        ]
+    else:
+        # shingle -> digest memo scoped by the caller (per batch): natural
+        # text repeats trigrams across documents, so the two-md5 cost is
+        # paid once per distinct shingle per batch (same trick as the
+        # simhash token memo; bit-identical to the unmemoized path)
+        digests = []
+        for s in sh:
+            d = memo.get(s)
+            if d is None:
+                d = memo[s] = (
+                    hashlib.md5(s.encode("utf-8")).hexdigest()
+                    + hashlib.md5((s + "#").encode("utf-8")).hexdigest()
+                )
+            digests.append(d)
     mins = [min(d[4 * i : 4 * i + 4] for d in digests) for i in range(N_MINHASH)]
     return [",".join(mins[b * r : (b + 1) * r]) for b in range(N_BANDS)]
 
@@ -117,8 +132,9 @@ def _band_sigs(text: str) -> list[str]:
 def _minhash_rows(batch: pa.Table) -> pa.Table:
     """Per doc: N_BANDS rows (doc_id, band, sig) — see ``_band_sigs``."""
     doc_ids, bands, sigs = [], [], []
+    memo: dict[str, str] = {}
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        for b, sig in enumerate(_band_sigs(text)):
+        for b, sig in enumerate(_band_sigs(text, memo)):
             doc_ids.append(doc_id)
             bands.append(b)
             sigs.append(sig)
