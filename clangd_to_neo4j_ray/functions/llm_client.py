@@ -225,8 +225,16 @@ def llm_is_local(api_name: str | None = None) -> bool:
     """Whether the selected LLM client runs in-process (class attribute —
     no instantiation, so no key/packages needed to PLAN concurrency)."""
     name = _resolve(api_name, "GRAFT_LLM_API", DEFAULT_LLM_API)
-    cls = _LLM_CLIENTS.get(name)
-    return bool(cls and cls.is_local)
+    try:
+        cls = _LLM_CLIENTS[name]
+    except KeyError:
+        # fail at PLAN time with the same message the factory would give —
+        # otherwise a typo'd name sizes a remote pool and only errors
+        # inside Ray actor construction (code-review r3)
+        raise ValueError(
+            f"unknown LLM API: {name!r}. Supported: {sorted(_LLM_CLIENTS)}"
+        ) from None
+    return bool(cls.is_local)
 
 
 def remote_concurrency() -> int:

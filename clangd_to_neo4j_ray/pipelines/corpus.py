@@ -32,8 +32,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..stages.dedup import (
-    _SQL_MINSIG, _SQL_SHINGLES3, _SQL_TOK, _band_sigs, _read_docs,
-    minhash_pairs_from_sigs)
+    _SQL_MINSIG, _SQL_SHINGLES3, _SQL_TOK, _band_sigs, _read_docs)
 from ..stages.joins import bucketed_join
 from ..stages.shuffle import grouped_agg
 

@@ -89,12 +89,20 @@ def enrich_pages(
     )
 
 
-def rollup_domains(page_summaries: ray.data.Dataset) -> ray.data.Dataset:
+def rollup_domains(
+    page_summaries: ray.data.Dataset,
+    *,
+    llm_api: str | None = None,
+    embed_api: str | None = None,
+) -> ray.data.Dataset:
     """A6 analog: per-domain rollup of child page summaries (one level of the
     depth-descending hierarchy; children collected per group, order-
-    independent because the fake client sorts them)."""
-    llm = FakeLlmClient()
-    embedder = DeterministicEmbedder()
+    independent because the fake client sorts them).  Clients resolve
+    through the factory, so GRAFT_LLM_API selects the same backend for
+    every level of the hierarchy (code-review r3: the rollups previously
+    pinned the fakes, silently mixing fake and real summaries)."""
+    llm = get_llm_client(llm_api)
+    embedder = get_embedding_client(embed_api)
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         domain = g["domain"].iloc[0]
@@ -112,12 +120,17 @@ def rollup_domains(page_summaries: ray.data.Dataset) -> ray.data.Dataset:
     return page_summaries.groupby("domain").map_groups(roll, batch_format="pandas")
 
 
-def project_summary(domain_summaries: ray.data.Dataset) -> dict:
+def project_summary(
+    domain_summaries: ray.data.Dataset,
+    *,
+    llm_api: str | None = None,
+    embed_api: str | None = None,
+) -> dict:
     """A7 global reduce: all domain summaries -> one project record."""
     rows = domain_summaries.select_columns(["domain", "summary"]).take_all()
-    llm = FakeLlmClient()
+    llm = get_llm_client(llm_api)
     s = llm.summarize("project:root", [r["summary"] for r in rows], None)
-    emb = DeterministicEmbedder().encode([s])[0]
+    emb = get_embedding_client(embed_api).encode([s])[0]
     return {"node_id": "project:root", "summary": s, "embedding": list(emb)}
 
 

@@ -158,8 +158,11 @@ def minhash_pairs_from_sigs(sigs: ray.data.Dataset) -> ray.data.Dataset:
 
     Output: (a_doc, b_doc) distinct, a_doc < b_doc.  The bucket groupby is
     the LSH shuffle; pair expansion happens per bucket in map_groups.
-    Factored out of ``dedup_minhash_pairs`` so composed pipelines
-    (corpus_clean) can feed signatures from a shared corpus scan."""
+    Takes the signature dataset (rather than reading the corpus) so
+    callers can feed signatures from their own scan; note corpus_clean
+    runs its own expansion WITHOUT the cross-band distinct (its
+    membership checks ignore duplicate pairs), so this full form is the
+    standalone query's."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized within-bucket pair expansion: self-merge per (band, sig)

@@ -341,7 +341,17 @@ def _write_import_artifacts(csv_dir: str, written: list[str]) -> list[str]:
         f"({EMBED_DIM}-dim cosine on summaryEmbedding)"
     )
     for lb in labels:
-        ident = "".join(c if c.isalnum() else "_" for c in lb.lower())
+        # md5 suffix keeps sanitized identifiers collision-free across
+        # labels that differ only in non-alphanumeric chars ('A/B' vs
+        # 'A_B' — code-review r3: the second CREATE ... IF NOT EXISTS
+        # would silently no-op and leave that label unindexed)
+        import hashlib as _hashlib
+
+        ident = (
+            "".join(c if c.isalnum() else "_" for c in lb.lower())
+            + "_"
+            + _hashlib.md5(lb.encode()).hexdigest()[:6]
+        )
         lines.append(
             f"CREATE VECTOR INDEX {ident}_summary_embeddings IF NOT EXISTS "
             f"FOR (n:`{lb}`) ON (n.summaryEmbedding) OPTIONS {{indexConfig: "

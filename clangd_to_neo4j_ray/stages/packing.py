@@ -122,34 +122,49 @@ def pack_stats(sf_dir: str, *, budget: int = PACK_BUDGET) -> ray.data.Dataset:
     )
 
 
+def grouped_head_n(
+    ds: ray.data.Dataset,
+    group_col: str,
+    sort_cols: list[str],
+    ascending: list[bool],
+    n: int,
+    out_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """First ``n`` rows per group under a total order — the bounded-reducer
+    top-n plan shared by ``top_docs_per_source`` and
+    ``sampling.sample_stratified``: per-batch partial head-n first (each
+    block ships at most n rows per group into the exchange, so reducer
+    input is bounded by n x blocks at any input size), then the identical
+    head-n per group inside one bucketed exchange.  ``sort_cols`` must be
+    a total order (include a unique tiebreaker) for determinism."""
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending)
+        out = df.groupby(group_col, sort=False).head(n)
+        if out_cols is not None:
+            out = out[out_cols]
+        return out.reset_index(drop=True)
+
+    partials = ds.map_batches(
+        lambda t: pa.Table.from_pandas(head(t.to_pandas()), preserve_index=False),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_agg(partials, [group_col], head)
+
+
 def top_docs_per_source(sf_dir: str, *, k: int = TOP_K) -> ray.data.Dataset:
     """The k longest documents of every source (curation top-k).
 
     Output: (source, doc_id, n_tokens), ties broken by ascending doc_id —
     fully deterministic, so the SQL oracle's row_number() ordering matches
-    exactly.  Per-batch partial top-k first: each block ships at most k
-    rows per source into the exchange, so the reducer input is bounded by
-    k x blocks however large the corpus is."""
-
-    def partial_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(
-            ["source", "n_tokens", "doc_id"], ascending=[True, False, True]
-        )
-        return pa.Table.from_pandas(
-            df.groupby("source", sort=False).head(k), preserve_index=False
-        )
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["source", "n_tokens", "doc_id"], ascending=[True, False, True]
-        )
-        return g.groupby("source", sort=False).head(k).reset_index(drop=True)
-
-    partials = _doc_tokens(sf_dir).map_batches(
-        partial_topk, batch_format="pyarrow"
+    exactly.  Physical plan: ``grouped_head_n``."""
+    return grouped_head_n(
+        _doc_tokens(sf_dir),
+        "source",
+        ["source", "n_tokens", "doc_id"],
+        [True, False, True],
+        k,
     )
-    return bucketed_group_agg(partials, ["source"], final_topk)
 
 
 QUALITY_P = 0.1  # drop docs below the per-source 10th percentile of length
@@ -244,27 +259,10 @@ SELECT source, doc_id, n_tokens, pack_id FROM packed
 ORACLE_SQL: dict[str, str] = {
     "pack_sequences": _pack_oracle(PACK_BUDGET),
     "pack_stats": f"""
-WITH RECURSIVE t AS (
-  SELECT source, doc_id,
-         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-  FROM documents
-),
-packed(source, doc_id, n_tokens, rn, pack_id, acc) AS (
-  SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
-  FROM t WHERE rn = 1
-  UNION ALL
-  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
-         CASE WHEN p.acc > 0 AND p.acc + t.n_tokens > {PACK_BUDGET}
-              THEN p.pack_id + 1 ELSE p.pack_id END,
-         CASE WHEN p.acc > 0 AND p.acc + t.n_tokens > {PACK_BUDGET}
-              THEN t.n_tokens ELSE p.acc + t.n_tokens END
-  FROM t JOIN packed p ON t.source = p.source AND t.rn = p.rn + 1
-)
 SELECT source, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-FROM packed GROUP BY source
+FROM ({_pack_oracle(PACK_BUDGET)}) packed GROUP BY source
 """,
     "quality_filter_p10": f"""
 WITH t AS (

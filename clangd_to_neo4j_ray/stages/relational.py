@@ -367,12 +367,17 @@ def nation_order_stats(sf_dir: str) -> ray.data.Dataset:
 
         def attach(batch: pa.Table) -> pa.Table:
             m = _ray.get(ref)
+            # .get keeps inner-join semantics: an order whose custkey is
+            # absent from customer DROPS, exactly like the bucketed path
+            # (code-review r3: a bare m[k] made behavior size-dependent)
             nk = pa.array(
-                [m[k] for k in batch["o_custkey"].to_pylist()]
+                [m.get(k) for k in batch["o_custkey"].to_pylist()],
+                type=pa.int64(),
             )
             t = pa.table(
                 {"c_nationkey": nk, "n": batch["n"], "v": batch["v"]}
             )
+            t = t.filter(pc.is_valid(t["c_nationkey"]))
             return (
                 t.group_by("c_nationkey")
                 .aggregate([("n", "sum"), ("v", "sum")])

@@ -58,12 +58,10 @@ def sample_stratified(
     oracle's row_number() ordering matches exactly).  Output:
     (doc_id, source).
 
-    Scale: per-batch partial top-n first (each block ships at most n rows
-    per source), then one bucketed exchange keyed on source — the same
-    bounded-reducer plan as ``packing.top_docs_per_source``."""
-    import pandas as pd
-
-    from .shuffle import bucketed_group_agg
+    Scale: the shared ``packing.grouped_head_n`` bounded-reducer plan
+    (per-batch partial head-n, then head-n per group in one bucketed
+    exchange)."""
+    from .packing import grouped_head_n
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
@@ -76,21 +74,16 @@ def sample_stratified(
         ]
         return batch.append_column("rk", pa.array(rk, type=pa.string()))
 
-    def head_n(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["source", "rk", "doc_id"])
-        return df.groupby("source", sort=False).head(n_per_source)
-
-    partials = ds.map_batches(keyed, batch_format="pyarrow").map_batches(
-        lambda t: pa.Table.from_pandas(
-            head_n(t.to_pandas()), preserve_index=False
-        ),
-        batch_format="pyarrow",
+    sampled = grouped_head_n(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "source",
+        ["source", "rk", "doc_id"],
+        [True, True, True],
+        n_per_source,
     )
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return head_n(g)[["doc_id", "source"]].reset_index(drop=True)
-
-    return bucketed_group_agg(partials, ["source"], final)
+    return sampled.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
 
 
 ORACLE_SQL: dict[str, str] = {
