@@ -8,6 +8,8 @@ module instead of being scattered per stage.
 
 from __future__ import annotations
 
+import os
+
 import ray
 
 
@@ -81,6 +83,39 @@ def default_pool_size() -> tuple[int, int]:
     except Exception:
         cpus = 4
     return (1, max(1, cpus * 3 // 4))
+
+
+def capped_pool_size(n_rows: int | None, batch_size: int) -> tuple[int, int]:
+    """``default_pool_size`` additionally capped by how many batches the
+    input can actually produce (VERDICT r3 #4: a full 24-actor pool spun up
+    against a 500-row table pays fixed actor start-up for workers that
+    never receive a batch — the measured 3.1x enrich_documents regression).
+    Same pattern as ``shuffle.auto_num_buckets``: size the pool from an
+    input hint, floor 1, never above the CPU-derived ceiling."""
+    lo, hi = default_pool_size()
+    if n_rows is not None:
+        hi = max(lo, min(hi, -(-int(n_rows) // max(1, batch_size))))
+    return (lo, hi)
+
+
+def parquet_rows_hint(path: str) -> int | None:
+    """Row count from Parquet footer metadata only (no data read); None when
+    the path has no readable parquet footer."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    try:
+        files = (
+            sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
 
 
 # Default per-stage batch sizing (the analog of the reference's

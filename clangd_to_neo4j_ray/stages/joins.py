@@ -44,7 +44,33 @@ def broadcast_join(
 
 
 def _key_set_ref(keys) -> ray.ObjectRef:
-    return ray.put(pa.array(sorted(set(keys))))
+    # nulls are dropped: they never match in the bucketed/polars path
+    # either, and None breaks sorted() (ADVICE r3 — size-dependent crash)
+    return ray.put(pa.array(sorted({k for k in keys if k is not None})))
+
+
+def _collect_key_set_bounded(
+    right: ray.data.Dataset, r_on: str, limit_bytes: int
+) -> list | None:
+    """Driver-side collection of the right key column with a HARD byte cap
+    (ADVICE r3): the plan-level size hint only sums LEAF read estimates, so
+    an expanding transform (flat_map/explode UDF) over a small file passes
+    the broadcast check while the actual key set is arbitrarily large.
+    Stream batches and bail to ``None`` the moment the accumulated column
+    bytes exceed the cap — the caller falls back to the bucketed exchange.
+    NOTE: like the take_all it replaces, this executes the right plan
+    eagerly at graph-construction time (acceptable: the plan was judged
+    broadcast-small; overflow aborts the drain early).  Nulls are dropped
+    (they never match in any path)."""
+    keys: set = set()
+    nbytes = 0
+    for b in right.select_columns([r_on]).iter_batches(batch_format="pyarrow"):
+        col = b[r_on]
+        nbytes += col.nbytes
+        if nbytes > limit_bytes:
+            return None
+        keys.update(col.drop_null().to_pylist())
+    return sorted(keys)
 
 
 def broadcast_semi_join(
@@ -98,25 +124,28 @@ def auto_semi_join(
     "broadcast small sides, shuffle large ones" rule calls for, and the
     same threshold pattern as ``graph_algo.reachable_from_ds``).
 
-    Right side under the limit: its key column is collected once and
-    shipped as an ``is_in`` value set — zero exchanges, the sequential-
-    latency win for dimension filters (a bucketed exchange costs ~1-3 s
-    of fixed latency at any size, measured r3).  Over the limit (or
-    unknowable): the bucketed exchange, unbounded-size safe."""
+    Right side under the limit: its key column is collected once (with a
+    hard byte cap — the hint is advisory, the drain is bounded; see
+    ``_collect_key_set_bounded``) and shipped as an ``is_in`` value set —
+    zero exchanges, the sequential-latency win for dimension filters (a
+    bucketed exchange costs ~1-3 s of fixed latency at any size, measured
+    r3).  Over the limit, over the cap, or unknowable: the bucketed
+    exchange, unbounded-size safe.  The broadcast probe executes the right
+    plan eagerly at graph-construction time."""
     r_on = right_on or on
-    hint = None
     from .shuffle import dataset_size_hint
 
     hint = dataset_size_hint(right)
     limit = broadcast_limit if broadcast_limit is not None else broadcast_bytes_limit()
     if hint is not None and hint <= limit:
-        keys = [
-            r[r_on] for r in right.select_columns([r_on]).take_all()
-        ]
-        if how == "semi":
-            return broadcast_semi_join(left, on, keys)
-        if how == "anti":
-            return broadcast_anti_join(left, on, keys)
+        keys = _collect_key_set_bounded(right, r_on, limit)
+        if keys is not None:
+            if how == "semi":
+                return broadcast_semi_join(left, on, keys)
+            if how == "anti":
+                return broadcast_anti_join(left, on, keys)
+            raise ValueError(f"auto_semi_join supports semi/anti, got {how!r}")
+    if how not in ("semi", "anti"):
         raise ValueError(f"auto_semi_join supports semi/anti, got {how!r}")
     return bucketed_join(left, right, on=on, right_on=r_on, how=how)
 
@@ -133,7 +162,9 @@ def auto_membership_marker(
     """``left`` plus a boolean ``marker`` column: whether ``left[on]``
     appears in ``right[right_on]`` — the keep-both-populations cousin of
     ``auto_semi_join`` (A8 orphan-marking semantics), with the same
-    broadcast-vs-bucketed planner choice by the right side's size hint."""
+    broadcast-vs-bucketed planner choice by the right side's size hint and
+    the same hard byte cap on the actual collection (the hint is advisory;
+    eager right-plan execution at graph-construction time)."""
     r_on = right_on or on
     from .shuffle import dataset_size_hint
 
@@ -142,18 +173,16 @@ def auto_membership_marker(
         broadcast_limit if broadcast_limit is not None else broadcast_bytes_limit()
     )
     if hint is not None and hint <= limit:
-        ks = ray.put(
-            pa.array(
-                sorted({r[r_on] for r in right.select_columns([r_on]).take_all()})
-            )
-        )
+        keys = _collect_key_set_bounded(right, r_on, limit)
+        if keys is not None:
+            ks = ray.put(pa.array(keys))
 
-        def mark(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                marker, pc.is_in(batch[on], value_set=ray.get(ks))
-            )
+            def mark(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    marker, pc.is_in(batch[on], value_set=ray.get(ks))
+                )
 
-        return left.map_batches(mark, batch_format="pyarrow")
+            return left.map_batches(mark, batch_format="pyarrow")
 
     import polars as pl
 

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..context import WIDE_ROW_BATCH_SIZE, default_pool_size
+from ..context import WIDE_ROW_BATCH_SIZE, capped_pool_size, parquet_rows_hint
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -86,18 +86,23 @@ class ImageFeatureExtractor:
 
 
 def extract_media_features(
-    media: ray.data.Dataset, *, feature_dim: int = 16
+    media: ray.data.Dataset,
+    *,
+    feature_dim: int = 16,
+    n_rows: int | None = None,
 ) -> ray.data.Dataset:
     """media (MEDIA_SCHEMA) -> (media_id, kind, features).
 
     Wide-row stage: small batch size so payload bytes x concurrency fits the
-    worker heap; payload column dropped at the stage boundary."""
+    worker heap; payload column dropped at the stage boundary.  ``n_rows``
+    (when the caller knows it, e.g. from Parquet footers) caps the actor
+    pool at the batch count (VERDICT r3 #4 pattern)."""
     return media.map_batches(
         ImageFeatureExtractor,
         fn_constructor_kwargs={"feature_dim": feature_dim},
         batch_format="pyarrow",
         batch_size=WIDE_ROW_BATCH_SIZE,
-        concurrency=default_pool_size(),
+        concurrency=capped_pool_size(n_rows, WIDE_ROW_BATCH_SIZE),
     )
 
 
@@ -113,9 +118,9 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
     payload dropped at the stage boundary.
 
     Output: (media_id, kind, n_dims, feat_mean)."""
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    n_rows = parquet_rows_hint(path)
     kinds = ["image", "audio", "video"]
 
     def to_media(batch: pa.Table) -> pa.Table:
@@ -132,7 +137,7 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
         )
 
     feats = extract_media_features(
-        docs.map_batches(to_media, batch_format="pyarrow")
+        docs.map_batches(to_media, batch_format="pyarrow"), n_rows=n_rows
     )
 
     def summarize(t: pa.Table) -> pa.Table:
