@@ -13,26 +13,49 @@ from "rows per transaction" to "tokens per training sequence"; top-k per
 group is the A4 head-probe (``clangd_symbol_nodes_builder.py:290-307``)
 turned into a curation operator.
 
-Scale notes: both operators are one bucketed exchange keyed on ``source``
-(the blocking key the whole dedup family already uses).  Packing is
-order-dependent WITHIN a source by definition (prefix sums), so a source
-must fit one reducer task — the same stated assumption as session windows;
-top-k additionally pre-aggregates per batch (each batch contributes at most
-k rows per source to the exchange), so its reducer input is bounded by
-k x blocks regardless of corpus size.
+Scale notes: packing is order-dependent WITHIN a source by definition
+(greedy prefix scan), and ``source`` is intrinsically LOW-cardinality, so
+"one source = one reducer" serializes a corpus fraction into one Python
+task at scale (VERDICT r3 #1).  The distributed plan below shards every
+source into contiguous ``doc_id`` ranges and is EXACT — byte-identical to
+the sequential greedy scan at any shard span (property-tested), because the
+greedy state that crosses a shard boundary is tiny: (open pack id, open
+pack fill).  Each shard independently emits an O(min(docs-in-one-budget,
+budget)) carry-function summary; an O(shards) driver fold resolves the
+boundary carries; a second pass assigns final pack ids.  Top-k
+pre-aggregates per batch (each batch contributes at most k rows per source
+to the exchange), so its reducer input is bounded by k x blocks regardless
+of corpus size.
 """
 
 from __future__ import annotations
 
+import os
+from bisect import bisect_right
+from collections import defaultdict
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from .shuffle import bucketed_group_agg
 
 PACK_BUDGET = 256  # tokens per packed training sequence (driver query)
 TOP_K = 5  # docs kept per source (driver query)
+
+# Contiguous doc_id range per packing shard.  65536 keeps shard counts (and
+# the O(shards x summary) driver fold) tiny even at 10^10 docs while every
+# shard stays far under a reducer's heap; tests force tiny spans to exercise
+# multi-shard carry resolution at toy scale (the GRAFT_BUCKET_BYTES pattern).
+PACK_SHARD_SPAN_DEFAULT = 1 << 16
+
+
+def pack_shard_span() -> int:
+    return int(
+        os.environ.get("GRAFT_PACK_SHARD_SPAN", str(PACK_SHARD_SPAN_DEFAULT))
+    )
 
 
 def _doc_tokens(sf_dir: str) -> ray.data.Dataset:
@@ -60,6 +83,64 @@ def _doc_tokens(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(counts, batch_format="pyarrow")
 
 
+def _greedy_tables(toks: np.ndarray, budget: int):
+    """Per-shard greedy-scan tables over ``toks`` (doc_id order, each >= 1).
+
+    Returns ``(c, nxt, m, cnt_from, acc_from)``:
+
+    - ``c``: cumulative sums, ``len(toks) + 1`` (``c[0] == 0``).
+    - ``nxt[p]``: start of the next pack when a pack opens at doc ``p``
+      (greedy: extend while the pack total stays <= budget; a pack always
+      takes at least one doc, so oversized docs sit alone).
+    - ``m``: absorb-window length — the number of leading docs whose prefix
+      sum is < budget (an incoming open pack with fill >= 1 can absorb at
+      most these; bounded by ``budget`` since every doc has >= 1 token).
+    - ``cnt_from[a]`` / ``acc_from[a]`` for ``a`` in 0..m: pack count and
+      final open-pack fill of the zero-state greedy packing of
+      ``toks[a:]`` — the shard's carry function, tabulated only at the
+      restart positions a boundary carry can actually select.
+
+    The tabulation memoizes chain walks, so total work is O(n + m): the
+    nxt-chains from all restart positions merge into previously visited
+    positions.
+    """
+    n = len(toks)
+    c = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(toks, out=c[1:])
+    nxt = np.maximum(
+        np.searchsorted(c, c[:n] + budget, side="right") - 1,
+        np.arange(1, n + 1),
+    )
+    m = min(int(np.searchsorted(c, budget, side="left")) - 1, n)
+    memo: dict[int, tuple[int, int]] = {n: (0, 0)}
+    for a in range(m, -1, -1):
+        path = []
+        p = a
+        while p not in memo:
+            path.append(p)
+            p = int(nxt[p])
+        for q in reversed(path):
+            nq = int(nxt[q])
+            cnt_next, acc_next = memo[nq]
+            memo[q] = (
+                cnt_next + 1,
+                acc_next if nq < n else int(c[n] - c[q]),
+            )
+    cnt_from = [memo[a][0] for a in range(m + 1)]
+    acc_from = [memo[a][1] for a in range(m + 1)]
+    return c, nxt, m, cnt_from, acc_from
+
+
+def _breaks_from(nxt: np.ndarray, n: int, a: int) -> np.ndarray:
+    """Pack-start positions of the zero-state greedy packing of docs[a:]."""
+    bs = []
+    p = a
+    while p < n:
+        bs.append(p)
+        p = int(nxt[p])
+    return np.asarray(bs, dtype=np.int64)
+
+
 def pack_sequences(
     sf_dir: str, *, budget: int = PACK_BUDGET
 ) -> ray.data.Dataset:
@@ -72,29 +153,137 @@ def pack_sequences(
     pack_id dense from 0 per source — deterministic and integer-exact;
     the DuckDB oracle replays the identical greedy recursion with a
     recursive CTE in doc_id order.
-    """
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for src, grp in g.groupby("source", sort=False):
-            grp = grp.sort_values("doc_id")
-            toks = grp["n_tokens"].to_numpy(np.int64)
-            pack_ids = np.empty(len(toks), dtype=np.int64)
-            pid, acc = 0, 0
-            for i, t in enumerate(toks):
-                if acc and acc + t > budget:
-                    pid += 1
-                    acc = 0
-                pack_ids[i] = pid
-                acc += t
-            out = grp.copy()
-            out["pack_id"] = pack_ids
-            outs.append(out)
-        return pd.concat(outs, ignore_index=True) if outs else g.assign(
-            pack_id=pd.Series([], dtype="int64")
+    Physical plan (VERDICT r3 #1 — no one-reducer-per-source barrier):
+
+    1. shard = doc_id // ``GRAFT_PACK_SHARD_SPAN`` — contiguous doc_id
+       ranges, so ascending shard == ascending doc_id within a source;
+    2. exchange keyed on (source, shard): each shard emits its compact
+       carry-function summary (``_greedy_tables``), O(min(docs-per-budget,
+       budget)) values per shard;
+    3. O(shards) driver fold per source resolves the carry (open pack id,
+       open pack fill) across shard boundaries: the carry picks the absorb
+       count ``a`` from the prefix sums, and the shard's tabulated
+       (cnt_from[a], acc_from[a]) advances the carry without touching rows;
+    4. second exchange keyed on (source, shard) assigns final ids: first
+       ``a`` docs join the incoming open pack, the rest get the zero-state
+       packing of docs[a:] (an O(packs) break-chain walk + vectorized
+       searchsorted — no per-row Python) offset by the resolved base.
+
+    Exact at any span — a boundary carry only ever absorbs a prefix and
+    restarts the scan at a tabulated position — so output is byte-identical
+    to the single-reducer plan (property-tested with tiny forced spans).
+    The reference analog is the batch-planning aggregate
+    (clangd_symbol_nodes_builder.py:290-307).
+    """
+    span = pack_shard_span()
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__shard", pa.array(ids // span, type=pa.int64())
         )
 
-    return bucketed_group_agg(_doc_tokens(sf_dir), ["source"], pack)
+    tok = (
+        _doc_tokens(sf_dir)
+        .map_batches(add_shard, batch_format="pyarrow")
+        .materialize()  # two exchanges below read it; avoid lineage re-exec
+    )
+
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (src, sh), grp in g.groupby(["source", "__shard"], sort=False):
+            toks = (
+                grp.sort_values("doc_id")["n_tokens"].to_numpy(np.int64)
+            )
+            c, _nxt, m, cnt_from, acc_from = _greedy_tables(toks, budget)
+            rows.append(
+                (
+                    src,
+                    int(sh),
+                    len(toks),
+                    int(c[-1]),
+                    c[1 : m + 1].tolist(),
+                    cnt_from,
+                    acc_from,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "source",
+                "shard",
+                "n",
+                "total",
+                "prefix",
+                "cnt_from",
+                "acc_from",
+            ],
+        )
+
+    summaries = bucketed_group_agg(
+        tok, ["source", "__shard"], summarize
+    ).take_all()
+
+    by_source: dict = defaultdict(list)
+    for r in summaries:
+        by_source[r["source"]].append(r)
+    # (source, shard) -> (absorb_pid, absorb_count, base_pid)
+    res: dict[tuple, tuple[int, int, int]] = {}
+    for src, rows in by_source.items():
+        rows.sort(key=lambda r: r["shard"])
+        open_pid, acc = -1, 0  # acc == 0 <=> no open pack (source start)
+        for r in rows:
+            n, prefix = int(r["n"]), list(r["prefix"])
+            a = bisect_right(prefix, budget - acc) if acc > 0 else 0
+            if a >= n:  # whole shard absorbed into the open pack
+                res[(src, int(r["shard"]))] = (open_pid, n, open_pid + 1)
+                acc += int(r["total"])
+                continue
+            base = open_pid + 1
+            res[(src, int(r["shard"]))] = (open_pid, a, base)
+            open_pid = base + int(r["cnt_from"][a]) - 1
+            acc = int(r["acc_from"][a])
+    res_ref = ray.put(res)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        rmap = ray.get(res_ref)
+        outs = []
+        for (src, sh), grp in g.groupby(["source", "__shard"], sort=False):
+            grp = grp.sort_values("doc_id")
+            toks = grp["n_tokens"].to_numpy(np.int64)
+            n = len(toks)
+            absorb_pid, a, base = rmap[(src, int(sh))]
+            pack = np.empty(n, dtype=np.int64)
+            pack[:a] = absorb_pid
+            if a < n:
+                c = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(toks, out=c[1:])
+                nxt = np.maximum(
+                    np.searchsorted(c, c[:n] + budget, side="right") - 1,
+                    np.arange(1, n + 1),
+                )
+                bs = _breaks_from(nxt, n, a)
+                pack[a:] = base + (
+                    np.searchsorted(bs, np.arange(a, n), side="right") - 1
+                )
+            out = grp[["source", "doc_id", "n_tokens"]].copy()
+            out["pack_id"] = pack
+            outs.append(out)
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "pack_id": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+
+    return bucketed_group_agg(tok, ["source", "__shard"], assign)
 
 
 def pack_stats(sf_dir: str, *, budget: int = PACK_BUDGET) -> ray.data.Dataset:
