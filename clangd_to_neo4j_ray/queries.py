@@ -93,6 +93,7 @@ from .stages import similarity as _sim
 register("ann_brute_topk", _sim.ann_brute_topk, _sim.ORACLE_SQL["ann_brute_topk"])
 register("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ORACLE_SQL["ann_lsh_topk"])
 register("ann_ivf_topk", _sim.ann_ivf_topk, _sim.ORACLE_SQL["ann_ivf_topk"])
+register("ann_recall", _sim.ann_recall, _sim.ORACLE_SQL["ann_recall"])
 
 # --- event windows / sessions ---
 from .stages import windows as _win

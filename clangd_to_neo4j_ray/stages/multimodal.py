@@ -50,16 +50,35 @@ def _try_import_pillow():
 class ImageFeatureExtractor:
     """Actor-pool stage: image payload -> fixed-size feature vector.
 
-    With Pillow present it would decode + resize + channel-mean; in this
-    container it uses the deterministic fake path (md5-derived features) so
-    the pipeline shape is exercised end to end.  State (decoder choice) is
-    resolved once per actor."""
+    ``decoder`` selects the kernel ONCE per actor (the real/fake client
+    split, mirroring functions/llm_client.py):
 
-    def __init__(self, feature_dim: int = 16, allow_fake: bool = True):
+    - ``"pillow"``: real decode — Pillow opens the payload, converts to
+      8-bit grayscale, resizes to a ``feature_dim x 1`` strip (bilinear)
+      and emits the normalized pixel values.  Raises ``DecodeUnavailable``
+      at actor construction when Pillow is absent, and per payload when the
+      bytes are not a decodable image (loud failure, never silent garbage).
+    - ``"fake"``: the documented deterministic md5-derived features — the
+      container has no codec libraries, so this is the test/bench default.
+    - ``"auto"``: pillow when importable, else fake."""
+
+    def __init__(
+        self,
+        feature_dim: int = 16,
+        allow_fake: bool = True,
+        decoder: str = "auto",
+    ):
         self.feature_dim = feature_dim
         self.have_pillow = _try_import_pillow()
-        if not self.have_pillow and not allow_fake:
-            raise DecodeUnavailable("Pillow not installed and fake decode disabled")
+        if decoder == "auto":
+            decoder = "pillow" if self.have_pillow else "fake"
+        if decoder == "pillow" and not self.have_pillow:
+            raise DecodeUnavailable("Pillow not installed")
+        if decoder == "fake" and not allow_fake:
+            raise DecodeUnavailable("fake decode disabled and Pillow absent")
+        if decoder not in ("pillow", "fake"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         buf = b"".join(
@@ -69,9 +88,31 @@ class ImageFeatureExtractor:
         v = np.frombuffer(buf, dtype=np.uint32)[: self.feature_dim]
         return (v.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
+    def _pillow_features(self, payload: bytes) -> np.ndarray:
+        import io
+
+        import PIL.Image
+
+        try:
+            img = PIL.Image.open(io.BytesIO(payload))
+            img = img.convert("L").resize(
+                (self.feature_dim, 1), PIL.Image.BILINEAR
+            )
+        except Exception as e:  # undecodable bytes -> loud typed failure
+            raise DecodeUnavailable(f"payload is not a decodable image: {e}")
+        return (
+            np.asarray(img, dtype=np.float32).reshape(-1)[: self.feature_dim]
+            / 255.0
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        kernel = (
+            self._pillow_features
+            if self.decoder == "pillow"
+            else self._fake_features
+        )
         feats = [
-            self._fake_features(p if p is not None else b"")
+            kernel(p if p is not None else b"")
             for p in batch["payload"].to_pylist()
         ]
         return pa.table(
@@ -90,16 +131,18 @@ def extract_media_features(
     *,
     feature_dim: int = 16,
     n_rows: int | None = None,
+    decoder: str = "auto",
 ) -> ray.data.Dataset:
     """media (MEDIA_SCHEMA) -> (media_id, kind, features).
 
     Wide-row stage: small batch size so payload bytes x concurrency fits the
     worker heap; payload column dropped at the stage boundary.  ``n_rows``
     (when the caller knows it, e.g. from Parquet footers) caps the actor
-    pool at the batch count (VERDICT r3 #4 pattern)."""
+    pool at the batch count (VERDICT r3 #4 pattern).  ``decoder`` picks the
+    per-actor kernel (see ``ImageFeatureExtractor``)."""
     return media.map_batches(
         ImageFeatureExtractor,
-        fn_constructor_kwargs={"feature_dim": feature_dim},
+        fn_constructor_kwargs={"feature_dim": feature_dim, "decoder": decoder},
         batch_format="pyarrow",
         batch_size=WIDE_ROW_BATCH_SIZE,
         concurrency=capped_pool_size(n_rows, WIDE_ROW_BATCH_SIZE),
@@ -137,7 +180,11 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
         )
 
     feats = extract_media_features(
-        docs.map_batches(to_media, batch_format="pyarrow"), n_rows=n_rows
+        docs.map_batches(to_media, batch_format="pyarrow"),
+        n_rows=n_rows,
+        # pinned: the payloads are synthetic text bytes, so the output must
+        # not depend on whether a codec library happens to be installed
+        decoder="fake",
     )
 
     def summarize(t: pa.Table) -> pa.Table:

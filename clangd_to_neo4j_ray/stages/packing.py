@@ -58,13 +58,13 @@ def pack_shard_span() -> int:
     )
 
 
-def _doc_tokens(sf_dir: str) -> ray.data.Dataset:
-    """(source, doc_id, n_tokens) — whitespace token counts, column-pruned
-    read, one vectorized-ish pass (token semantics shared with
-    text_quality / the corpus profile scan: ``string_split(text, ' ')``)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+def token_profile(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """docs (doc_id, text, source, ...) -> (source, doc_id, n_tokens) —
+    whitespace token counts, one vectorized pass (token semantics shared
+    with text_quality / the corpus profile scan: ``string_split(text, ' ')``).
+    This is the corpus-dominant scan of the curation family; the
+    checkpointed pipeline (pipelines/curate.py) runs it once per input
+    partition and resumes from the manifest."""
 
     def counts(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -81,6 +81,17 @@ def _doc_tokens(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def _doc_tokens(sf_dir: str) -> ray.data.Dataset:
+    """(source, doc_id, n_tokens) from the sf-dir documents table
+    (column-pruned read + ``token_profile``)."""
+    return token_profile(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        )
+    )
 
 
 def _greedy_tables(toks: np.ndarray, budget: int):
@@ -176,6 +187,16 @@ def pack_sequences(
     The reference analog is the batch-planning aggregate
     (clangd_symbol_nodes_builder.py:290-307).
     """
+    return pack_tokens(_doc_tokens(sf_dir), budget=budget)
+
+
+def pack_tokens(
+    tok_in: ray.data.Dataset, *, budget: int = PACK_BUDGET
+) -> ray.data.Dataset:
+    """The sharded greedy-packing plan over an existing token-profile
+    dataset (source, doc_id, n_tokens) — see ``pack_sequences`` for the
+    algorithm; this entry point lets the checkpointed curation pipeline
+    feed the resumable profile instead of re-reading documents."""
     span = pack_shard_span()
 
     def add_shard(batch: pa.Table) -> pa.Table:
@@ -185,8 +206,7 @@ def pack_sequences(
         )
 
     tok = (
-        _doc_tokens(sf_dir)
-        .map_batches(add_shard, batch_format="pyarrow")
+        tok_in.map_batches(add_shard, batch_format="pyarrow")
         .materialize()  # two exchanges below read it; avoid lineage re-exec
     )
 
@@ -347,8 +367,15 @@ def top_docs_per_source(sf_dir: str, *, k: int = TOP_K) -> ray.data.Dataset:
     Output: (source, doc_id, n_tokens), ties broken by ascending doc_id —
     fully deterministic, so the SQL oracle's row_number() ordering matches
     exactly.  Physical plan: ``grouped_head_n``."""
+    return top_docs_tokens(_doc_tokens(sf_dir), k=k)
+
+
+def top_docs_tokens(
+    tok: ray.data.Dataset, *, k: int = TOP_K
+) -> ray.data.Dataset:
+    """``top_docs_per_source`` over an existing token-profile dataset."""
     return grouped_head_n(
-        _doc_tokens(sf_dir),
+        tok,
         "source",
         ["source", "n_tokens", "doc_id"],
         [True, False, True],
@@ -371,7 +398,12 @@ def quality_filter_p10(sf_dir: str) -> ray.data.Dataset:
     the resulting per-source thresholds are bounded by source cardinality
     (the family's stated blocking-key assumption) and broadcast into a
     vectorized filter — no second wide operation."""
-    tok = _doc_tokens(sf_dir).materialize()
+    return quality_filter_tokens(_doc_tokens(sf_dir))
+
+
+def quality_filter_tokens(tok_in: ray.data.Dataset) -> ray.data.Dataset:
+    """``quality_filter_p10`` over an existing token-profile dataset."""
+    tok = tok_in.materialize()
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         return (
@@ -411,8 +443,10 @@ def quality_filter_p10(sf_dir: str) -> ray.data.Dataset:
         import pyarrow.compute as pc
 
         m = _ray.get(ref)
+        # C-level hash lookups instead of a per-row Python listcomp
         thr = pa.array(
-            [m[s] for s in batch["source"].to_pylist()], type=pa.int64()
+            batch["source"].to_pandas().map(m).to_numpy(dtype=np.int64),
+            type=pa.int64(),
         )
         return batch.filter(pc.greater_equal(batch["n_tokens"], thr))
 

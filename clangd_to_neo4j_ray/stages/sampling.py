@@ -61,11 +61,18 @@ def sample_stratified(
     Scale: the shared ``packing.grouped_head_n`` bounded-reducer plan
     (per-batch partial head-n, then head-n per group in one bucketed
     exchange)."""
-    from .packing import grouped_head_n
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
+    return sample_stratified_ds(ds, n_per_source=n_per_source)
+
+
+def sample_stratified_ds(
+    ds: ray.data.Dataset, *, n_per_source: int = SAMPLE_PER_SOURCE
+) -> ray.data.Dataset:
+    """``sample_stratified`` over an existing (doc_id, source, ...) dataset
+    (e.g. the checkpointed curation profile, pipelines/curate.py)."""
+    from .packing import grouped_head_n
 
     def keyed(batch: pa.Table) -> pa.Table:
         rk = [

