@@ -306,13 +306,24 @@ def ann_recall(sf_dir: str) -> pa.Table:
     top-k queries; their results are bounded by query count x k by
     construction, so the final intersection runs driver-side on O(Q x k)
     rows — never on the corpus."""
-    brute = ann_brute_topk(sf_dir).to_pandas()
-    truth = brute.groupby("qid")["nid"].apply(set).to_dict()
+    from concurrent.futures import ThreadPoolExecutor
+
+    # the three top-k pipelines are independent scans — build the plans
+    # sequentially (dataset construction is cheap driver work, and the
+    # parquet datasource import path is not thread-safe on this Ray
+    # version), then overlap their EXECUTION in driver threads
+    ds_brute = ann_brute_topk(sf_dir)
+    ds_ivf = ann_ivf_topk(sf_dir)
+    ds_lsh = ann_lsh_topk(sf_dir)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_brute = ex.submit(ds_brute.to_pandas)
+        f_ivf = ex.submit(ds_ivf.to_pandas)
+        f_lsh = ex.submit(ds_lsh.to_pandas)
+        brute = f_brute.result()
+        truth = brute.groupby("qid")["nid"].apply(set).to_dict()
+        ivf, lsh = f_ivf.result(), f_lsh.result()
     rows = []
-    for method, df in (
-        ("ivf", ann_ivf_topk(sf_dir).to_pandas()),
-        ("lsh", ann_lsh_topk(sf_dir).to_pandas()),
-    ):
+    for method, df in (("ivf", ivf), ("lsh", lsh)):
         got = df.groupby("qid")["nid"].apply(set).to_dict()
         for qid in sorted(truth):
             t = truth[qid]
