@@ -59,6 +59,8 @@ for _name, _fn in [
     ("text_token_totals", _text.text_token_totals),
     ("text_token_bpeish", _text.text_token_bpeish),
     ("text_fingerprint", _text.text_fingerprint),
+    ("text_repetition", _text.text_repetition),
+    ("source_mix_weights", _text.source_mix_weights),
 ]:
     register(_name, _fn, _text.ORACLE_SQL[_name])
 
@@ -85,6 +87,11 @@ register(
     "sample_stratified",
     _sampling.sample_stratified,
     _sampling.ORACLE_SQL["sample_stratified"],
+)
+register(
+    "split_contamination",
+    _sampling.split_contamination,
+    _sampling.ORACLE_SQL["split_contamination"],
 )
 
 # --- similarity search ---

@@ -190,13 +190,17 @@ def pack_sequences(
     return pack_tokens(_doc_tokens(sf_dir), budget=budget)
 
 
-def pack_tokens(
-    tok_in: ray.data.Dataset, *, budget: int = PACK_BUDGET
-) -> ray.data.Dataset:
-    """The sharded greedy-packing plan over an existing token-profile
-    dataset (source, doc_id, n_tokens) — see ``pack_sequences`` for the
-    algorithm; this entry point lets the checkpointed curation pipeline
-    feed the resumable profile instead of re-reading documents."""
+def _pack_plan(tok_in: ray.data.Dataset, budget: int):
+    """Shared prefix of the sharded packing plan: the (source, shard)
+    summary exchange plus the O(shards) driver carry fold.
+
+    Returns ``(tok, res, fold_stats)``: the materialized sharded profile,
+    the per-shard resolutions {(source, shard): (absorb_pid, absorb_count,
+    base_pid)}, and per-source fold statistics {source: (n_packs, n_docs,
+    sum_tokens)} — the fold knows every source's final pack count (pack
+    ids are dense from 0, so n_packs = last open pack id + 1) without ever
+    materializing per-doc assignments, which is how ``pack_stats`` runs on
+    ONE exchange."""
     span = pack_shard_span()
 
     def add_shard(batch: pa.Table) -> pa.Table:
@@ -250,6 +254,8 @@ def pack_tokens(
         by_source[r["source"]].append(r)
     # (source, shard) -> (absorb_pid, absorb_count, base_pid)
     res: dict[tuple, tuple[int, int, int]] = {}
+    # source -> (n_packs, n_docs, sum_tokens)
+    fold_stats: dict = {}
     for src, rows in by_source.items():
         rows.sort(key=lambda r: r["shard"])
         open_pid, acc = -1, 0  # acc == 0 <=> no open pack (source start)
@@ -264,6 +270,22 @@ def pack_tokens(
             res[(src, int(r["shard"]))] = (open_pid, a, base)
             open_pid = base + int(r["cnt_from"][a]) - 1
             acc = int(r["acc_from"][a])
+        fold_stats[src] = (
+            open_pid + 1,
+            sum(int(r["n"]) for r in rows),
+            sum(int(r["total"]) for r in rows),
+        )
+    return tok, res, fold_stats
+
+
+def pack_tokens(
+    tok_in: ray.data.Dataset, *, budget: int = PACK_BUDGET
+) -> ray.data.Dataset:
+    """The sharded greedy-packing plan over an existing token-profile
+    dataset (source, doc_id, n_tokens) — see ``pack_sequences`` for the
+    algorithm; this entry point lets the checkpointed curation pipeline
+    feed the resumable profile instead of re-reading documents."""
+    tok, res, _stats = _pack_plan(tok_in, budget)
     res_ref = ray.put(res)
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
@@ -306,28 +328,33 @@ def pack_tokens(
     return bucketed_group_agg(tok, ["source", "__shard"], assign)
 
 
-def pack_stats(sf_dir: str, *, budget: int = PACK_BUDGET) -> ray.data.Dataset:
+def pack_stats(sf_dir: str, *, budget: int = PACK_BUDGET) -> pa.Table:
     """Per-source packing efficiency: sequence count and mean fill.
 
     Output: (source, n_packs, n_docs, sum_tokens) — the planning statistic
     a training job reads before deciding budget/shard counts (avg-group-
-    size planning analog)."""
-    from .shuffle import grouped_agg
+    size planning analog).
 
-    packed = pack_sequences(sf_dir, budget=budget)
-    per_pack = grouped_agg(
-        packed,
-        ["source", "pack_id"],
-        {"tok": ("n_tokens", "sum"), "nd": ("n_tokens", "size")},
-    )
-    return grouped_agg(
-        per_pack,
-        ["source"],
+    Runs on ONE exchange: the packing plan's own carry fold already knows
+    every source's final pack count (pack ids are dense from 0), doc count
+    and token total, so the stats come straight from the per-shard
+    summaries — pass 2 (per-doc assignment) and the two aggregation
+    exchanges the previous plan paid are never executed.  Exactness is
+    pinned by the SQL oracle, which still derives the same numbers from
+    the full recursive-CTE assignment."""
+    _tok, _res, stats = _pack_plan(_doc_tokens(sf_dir), budget)
+    rows = sorted(stats.items())
+    return pa.table(
         {
-            "n_packs": ("pack_id", "size"),
-            "n_docs": ("nd", "sum"),
-            "sum_tokens": ("tok", "sum"),
-        },
+            "source": pa.array([s for s, _ in rows], type=pa.string()),
+            "n_packs": pa.array(
+                [v[0] for _, v in rows], type=pa.int64()
+            ),
+            "n_docs": pa.array([v[1] for _, v in rows], type=pa.int64()),
+            "sum_tokens": pa.array(
+                [v[2] for _, v in rows], type=pa.int64()
+            ),
+        }
     )
 
 

@@ -93,6 +93,67 @@ def sample_stratified_ds(
     )
 
 
+def split_contamination(sf_dir: str) -> ray.data.Dataset:
+    """Train/val decontamination check: every VAL document whose winnowing
+    fingerprint also appears on at least one TRAIN document — the
+    leakage audit a pretraining pipeline runs after cutting eval splits
+    (the reason ``split_train_val`` is documented as "cut BEFORE dedup so
+    leakage checks can join back").
+
+    Output: (doc_id, fp, n_train_matches) for contaminated val docs.
+
+    Plan: ONE corpus scan computes (doc_id, fp, split) — the split is a
+    pure function of doc_id, so it rides the fingerprint scan for free —
+    materialized once for its two consumers; then ONE bucketed exchange
+    keyed on fp joins val docs against train fingerprint counts, with the
+    count aggregation fused into the join's right side (``right_combine``)
+    instead of paying its own exchange."""
+    import polars as pl
+
+    from .joins import bucketed_join
+    from .text import text_fingerprint
+
+    fps = text_fingerprint(sf_dir)
+
+    def add_split(batch: pa.Table) -> pa.Table:
+        pre = [
+            hashlib.md5(f"{i}|{SPLIT_SEED}".encode()).hexdigest()[:2]
+            for i in batch["doc_id"].to_pylist()
+        ]
+        split = ["train" if p < TRAIN_HEX_CUTOFF else "val" for p in pre]
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    tagged = fps.map_batches(add_split, batch_format="pyarrow").materialize()
+
+    def val_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["split"], "val")).select(
+            ["doc_id", "fp"]
+        )
+
+    def train_partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["split"], "train"))
+        return (
+            t.select(["fp"])
+            .group_by("fp")
+            .aggregate([([], "count_all")])
+            .rename_columns(["fp", "n_train_matches"])
+        )
+
+    return bucketed_join(
+        tagged.map_batches(val_only, batch_format="pyarrow"),
+        tagged.map_batches(train_partials, batch_format="pyarrow"),
+        on="fp",
+        how="inner",
+        right_combine=lambda df: df.group_by("fp").agg(
+            pl.col("n_train_matches").sum()
+        ),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "sample_stratified": f"""
 WITH r AS (
@@ -111,5 +172,32 @@ SELECT doc_id, source,
                  < '{TRAIN_HEX_CUTOFF}'
             THEN 'train' ELSE 'val' END AS split
 FROM documents
+""",
+    "split_contamination": f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+             FROM documents),
+sh AS (
+  SELECT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' ' || e.tok
+           AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+  JOIN tok d ON a.doc_id = d.doc_id AND d.i = a.i + 3
+  JOIN tok e ON a.doc_id = e.doc_id AND e.i = a.i + 4
+),
+fp AS (SELECT doc_id, min(md5(s)) AS fp FROM sh GROUP BY doc_id),
+f AS (
+  SELECT fp.doc_id, fp.fp,
+         CASE WHEN substr(md5(CAST(fp.doc_id AS VARCHAR) || '|{SPLIT_SEED}'),
+                          1, 2) < '{TRAIN_HEX_CUTOFF}'
+              THEN 'train' ELSE 'val' END AS split
+  FROM fp
+),
+tr AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_train_matches
+       FROM f WHERE split = 'train' GROUP BY fp)
+SELECT f.doc_id, f.fp, tr.n_train_matches
+FROM f JOIN tr USING (fp) WHERE f.split = 'val'
 """,
 }

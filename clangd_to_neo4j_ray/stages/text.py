@@ -14,7 +14,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..functions.textops import explode_tokens
 
@@ -111,12 +110,12 @@ def text_token_totals(sf_dir: str) -> ray.data.Dataset:
             .rename_columns(["source", "lang", "docs", "toks"])
         )
 
-    return (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(["source", "lang"])
-        .aggregate(
-            Sum(on="docs", alias_name="n_docs"), Sum(on="toks", alias_name="n_tokens")
-        )
+    from .shuffle import grouped_agg
+
+    return grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["source", "lang"],
+        {"n_docs": ("docs", "sum"), "n_tokens": ("toks", "sum")},
     )
 
 
@@ -151,6 +150,117 @@ def text_token_bpeish(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def text_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Repetition-based quality stats (the Gopher/C4 duplicate-n-gram rule
+    family): per-document 2-gram duplication, integer-exact.
+
+    Output: (doc_id, n_bigrams, max_bigram_count, n_dup_bigrams) for
+    documents with >= 2 tokens; ``n_dup_bigrams`` counts occurrences
+    belonging to a bigram that appears more than once in the document —
+    the numerator of the "fraction of text inside duplicated 2-grams"
+    filter a pretraining pipeline gates on.  One vectorized pass: explode,
+    adjacent-pair join inside the batch, arrow group_by per (doc, bigram),
+    bincount rollup — no exchange (per-doc stats are batch-local)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, _pos, parents = explode_tokens(batch)
+        n_rows = len(batch)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_bigrams": pa.array([], type=pa.int64()),
+                "max_bigram_count": pa.array([], type=pa.int64()),
+                "n_dup_bigrams": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) < 2:
+            return empty
+        same = parents[1:] == parents[:-1]
+        if not same.any():
+            return empty
+        big = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " "
+        )
+        mask = pa.array(same)
+        t = pa.table(
+            {"p": pa.array(parents[:-1][same]), "bg": big.filter(mask)}
+        )
+        per_bg = t.group_by(["p", "bg"]).aggregate([([], "count_all")])
+        pi = per_bg["p"].to_numpy(zero_copy_only=False)
+        c = per_bg["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.bincount(pi, weights=c, minlength=n_rows).astype(np.int64)
+        mx = np.zeros(n_rows, dtype=np.int64)
+        np.maximum.at(mx, pi, c)
+        dupm = c > 1
+        dup = np.bincount(
+            pi[dupm], weights=c[dupm], minlength=n_rows
+        ).astype(np.int64)
+        keep = pa.array(nb > 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(keep),
+                "n_bigrams": pa.array(nb).filter(keep),
+                "max_bigram_count": pa.array(mx).filter(keep),
+                "n_dup_bigrams": pa.array(dup).filter(keep),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def source_mix_weights(sf_dir: str) -> pa.Table:
+    """Domain-mixing weights: per-source token share vs a uniform target.
+
+    Output: (source, n_tokens, share_permille, weight_permille) —
+    ``weight_permille`` is the integer-floored resampling factor that would
+    equalize token share across sources (1000 = keep as is; the mixture
+    reweighting step of a pretraining data recipe).  Plan: the per-source
+    token totals go through one combined exchange; the weight arithmetic
+    runs on the O(|sources|)-row result (bounded by the family's
+    blocking-key assumption)."""
+    from .shuffle import grouped_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _flat, _pos, parents = explode_tokens(batch)
+        n_tokens = np.bincount(parents, minlength=len(batch)).astype(np.int64)
+        t = pa.table(
+            {"source": batch["source"], "toks": pa.array(n_tokens)}
+        )
+        return (
+            t.group_by("source")
+            .aggregate([("toks", "sum")])
+            .rename_columns(["source", "toks"])
+        )
+
+    per_src = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["source"],
+        {"n_tokens": ("toks", "sum")},
+    ).take_all()  # bounded by source cardinality
+    total = sum(r["n_tokens"] for r in per_src)
+    n_src = len(per_src)
+    per_src.sort(key=lambda r: r["source"])
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in per_src], type=pa.string()),
+            "n_tokens": pa.array(
+                [r["n_tokens"] for r in per_src], type=pa.int64()
+            ),
+            "share_permille": pa.array(
+                [r["n_tokens"] * 1000 // total for r in per_src],
+                type=pa.int64(),
+            ),
+            "weight_permille": pa.array(
+                [total * 1000 // (n_src * r["n_tokens"]) for r in per_src],
+                type=pa.int64(),
+            ),
+        }
+    )
 
 
 def text_fingerprint(sf_dir: str) -> ray.data.Dataset:
@@ -222,6 +332,34 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_BPE_NUM}')) AS BIGINT) AS n_nums,
        CAST(len(regexp_extract_all(text, '{_BPE_OTHER}')) AS BIGINT) AS n_other
 FROM documents
+""",
+    "text_repetition": f"""
+WITH {_SQL_TOK},
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS BIGINT) AS max_bigram_count,
+       CAST(coalesce(sum(c) FILTER (c > 1), 0) AS BIGINT) AS n_dup_bigrams
+FROM c GROUP BY doc_id
+""",
+    "source_mix_weights": f"""
+WITH {_SQL_TOK},
+per_doc AS (SELECT doc_id, count(*) AS toks FROM tok GROUP BY doc_id),
+per AS (
+  SELECT d.source, CAST(sum(p.toks) AS BIGINT) AS n_tokens
+  FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+  GROUP BY d.source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_src FROM per)
+SELECT per.source, per.n_tokens,
+       CAST((per.n_tokens * 1000) // tot.total AS BIGINT) AS share_permille,
+       CAST((tot.total * 1000) // (tot.n_src * per.n_tokens) AS BIGINT)
+         AS weight_permille
+FROM per CROSS JOIN tot
 """,
     "text_fingerprint": f"""
 WITH {_SQL_TOK},

@@ -17,7 +17,10 @@ NAMES = [
     "text_token_totals",
     "text_fingerprint",
     "split_train_val",
+    "split_contamination",
     "text_token_bpeish",
+    "text_repetition",
+    "source_mix_weights",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
