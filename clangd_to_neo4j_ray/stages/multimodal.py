@@ -131,7 +131,7 @@ def extract_media_features(
     *,
     feature_dim: int = 16,
     n_rows: int | None = None,
-    decoder: str = "auto",
+    decoder: str = "fake",
 ) -> ray.data.Dataset:
     """media (MEDIA_SCHEMA) -> (media_id, kind, features).
 
@@ -139,7 +139,11 @@ def extract_media_features(
     worker heap; payload column dropped at the stage boundary.  ``n_rows``
     (when the caller knows it, e.g. from Parquet footers) caps the actor
     pool at the batch count (VERDICT r3 #4 pattern).  ``decoder`` picks the
-    per-actor kernel (see ``ImageFeatureExtractor``)."""
+    per-actor kernel (see ``ImageFeatureExtractor``); the DEFAULT is the
+    deterministic fake — the same determinism-by-default contract as the
+    LLM client factory — so library output never silently depends on which
+    codec libraries happen to be installed; pass ``"pillow"`` (or
+    ``"auto"``) explicitly for real image payloads."""
     return media.map_batches(
         ImageFeatureExtractor,
         fn_constructor_kwargs={"feature_dim": feature_dim, "decoder": decoder},

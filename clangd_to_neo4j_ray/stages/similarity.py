@@ -451,7 +451,7 @@ approx AS (
 truth AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_true FROM brute GROUP BY qid),
 hits AS (
   SELECT m.method, b.qid, CAST(count(a.nid) AS BIGINT) AS n_hits
-  FROM (SELECT DISTINCT method FROM approx) m
+  FROM (VALUES ('lsh'), ('ivf')) m(method)
   CROSS JOIN brute b
   LEFT JOIN approx a ON a.method = m.method AND a.qid = b.qid AND a.nid = b.nid
   GROUP BY m.method, b.qid
