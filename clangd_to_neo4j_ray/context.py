@@ -13,6 +13,49 @@ import os
 import ray
 
 
+def _pin_fsspec_http_stub() -> None:
+    """Make Ray's per-path ``fsspec.implementations.http`` probe thread-safe.
+
+    Ray Data re-attempts ``from fsspec.implementations.http import
+    HTTPFileSystem`` on EVERY path resolution (read_parquet construction and
+    write_parquet submission, ray/data/datasource/path_util.py) and catches
+    only ``ModuleNotFoundError``.  In this environment the import always
+    fails (no aiohttp), so each failed attempt is retried — and two driver
+    threads resolving paths concurrently race on the partially-initialized
+    module, surfacing as ``ImportError: cannot import name 'HTTPFileSystem'``
+    (a plain ImportError, which escapes Ray's except).  When the real module
+    is unimportable, install a benign stub module ONCE at library load: the
+    stub's sentinel class makes Ray's ``isinstance(fs, HTTPFileSystem)``
+    check deterministically False — exactly the behavior of the
+    ModuleNotFoundError branch — and the cached module ends the per-call
+    import attempts entirely."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return  # real module works; nothing to do
+    except ImportError:
+        pass
+    try:
+        import sys
+        import types
+
+        import fsspec.implementations as _impl
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: never instantiated, isinstance-False
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+        _impl.http = mod
+    except Exception:
+        pass  # fsspec itself absent: Ray's ModuleNotFoundError branch handles it
+
+
+_pin_fsspec_http_stub()
+
+
 def tune_data_context(
     *,
     target_max_block_size: int | None = 128 * 1024 * 1024,

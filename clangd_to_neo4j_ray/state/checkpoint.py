@@ -76,13 +76,28 @@ class StageCheckpoint:
         fn: Callable[[ray.data.Dataset], ray.data.Dataset],
         *,
         force: bool = False,
+        max_concurrent: int | None = None,
     ) -> dict:
         """Apply ``fn`` per input partition, skipping up-to-date ones.
 
         Returns {"computed": [...], "skipped": [...], "purged": [...]}.
         Partitions present in the manifest but absent from the input are
         purged (the §3.2 Phase-3 purge analog, ``neo4j_manager.py:130-222``).
+
+        ``max_concurrent`` (default: ``GRAFT_CKPT_CONCURRENCY`` env, else 1)
+        runs that many partition pipelines at once from driver threads —
+        at thousands of partitions a strictly sequential loop pays each
+        small pipeline's fixed submit latency serially and never fills a
+        big cluster.  Semantics are unchanged: outputs stay atomic
+        (tmp+rename per partition), the manifest is persisted after every
+        completed partition under a lock (a crash still resumes from
+        whatever finished), and dataset CONSTRUCTION is serialized under
+        the same lock (the parquet datasource import path is not
+        thread-safe on this Ray version) — only EXECUTION overlaps.
+        1 keeps the deterministic sequential order.
         """
+        import threading
+
         parts = list_partitions(input_dir)
         computed, skipped, purged = [], [], []
 
@@ -93,10 +108,10 @@ class StageCheckpoint:
             del self.manifest[stale]
             purged.append(stale)
 
+        todo: list[tuple[str, str, str]] = []  # (pid, path, fingerprint)
         for pid, path in parts.items():
             fp = fingerprint_file(path)
             entry = self.manifest.get(pid)
-            out_dir = os.path.join(self.dir, pid)
             if (
                 not force
                 and entry
@@ -105,23 +120,51 @@ class StageCheckpoint:
             ):
                 skipped.append(pid)
                 continue
+            todo.append((pid, path, fp))
+
+        lock = threading.Lock()
+
+        def compute_one(pid: str, path: str, fp: str) -> str:
+            out_dir = os.path.join(self.dir, pid)
             t0 = time.perf_counter()
-            ds = fn(ray.data.read_parquet(path))
+            with lock:  # serialize plan construction (thread-unsafe import)
+                ds = fn(ray.data.read_parquet(path))
             tmp_dir = out_dir + ".tmp"
             shutil.rmtree(tmp_dir, ignore_errors=True)
             ds.write_parquet(tmp_dir)
-            os.makedirs(tmp_dir, exist_ok=True)  # empty output is a valid result
+            os.makedirs(tmp_dir, exist_ok=True)  # empty output is valid
             shutil.rmtree(out_dir, ignore_errors=True)
             os.replace(tmp_dir, out_dir)
             rows = _count_rows(out_dir)
-            self.manifest[pid] = {
-                "fingerprint": fp,
-                "output": out_dir,
-                "rows": rows,
-                "wall_sec": round(time.perf_counter() - t0, 4),
-            }
-            self._save()
-            computed.append(pid)
+            with lock:
+                self.manifest[pid] = {
+                    "fingerprint": fp,
+                    "output": out_dir,
+                    "rows": rows,
+                    "wall_sec": round(time.perf_counter() - t0, 4),
+                }
+                self._save()
+            return pid
+
+        n_threads = max_concurrent or int(
+            os.environ.get("GRAFT_CKPT_CONCURRENCY", "1")
+        )
+        if n_threads <= 1:
+            for pid, path, fp in todo:
+                computed.append(compute_one(pid, path, fp))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_threads) as ex:
+                futs = [ex.submit(compute_one, *t) for t in todo]
+                errs = []
+                for f in futs:
+                    try:
+                        computed.append(f.result())
+                    except Exception as e:  # completed partitions persist
+                        errs.append(e)
+                if errs:
+                    raise errs[0]
 
         self._save()
         return {"computed": computed, "skipped": skipped, "purged": purged}
