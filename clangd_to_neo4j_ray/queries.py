@@ -122,6 +122,9 @@ register(
     "kg_reachability", _galgo.kg_reachability, _galgo.ORACLE_SQL["kg_reachability"]
 )
 register(
+    "kg_components", _galgo.kg_components, _galgo.ORACLE_SQL["kg_components"]
+)
+register(
     "kg_head_entities", _galgo.kg_head_entities, _galgo.ORACLE_SQL["kg_head_entities"]
 )
 

@@ -171,6 +171,153 @@ def kg_reachability(sf_dir: str) -> pa.Table:
     )
 
 
+def connected_components_ds(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+) -> ray.data.Dataset:
+    """Connected components of the undirected graph: Dataset of
+    (node, label), label = lexicographic min node name of the component.
+
+    Size-gated like ``reachable_from_ds``: when BOTH the node and edge
+    counts sit under ``broadcast_threshold`` the components are finished
+    on the driver with a union-find over the streamed edge batches (zero
+    exchanges past the input's own distinct).  Above the threshold,
+    distributed min-label propagation: each round joins labels onto edge
+    sources (bucketed exchange, per-batch pre-min combiner) and takes the
+    per-node min with the current labels; labels only decrease, so
+    convergence is detected by a zero-exchange per-round signature (sum of
+    pinned 64-bit hashes of (node, label) rows, O(blocks) partials to the
+    driver — a 2^-64-ish false-stop risk, disclosed).  Rounds needed =
+    graph diameter (label-propagation bound); entity co-occurrence graphs
+    are shallow, and ``max_rounds`` caps pathological chains.
+    """
+    from .joins import bucketed_join
+    from .shuffle import _stable_hash64, distinct, grouped_agg
+
+    def both(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[src_col], pa.string()).combine_chunks()
+        b = pc.cast(t[dst_col], pa.string()).combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    und = edges.map_batches(both, batch_format="pyarrow").materialize()
+    nodes = distinct(
+        und.map_batches(
+            lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow"
+        ),
+        ["node"],
+    ).materialize()
+    n_nodes, n_edges = nodes.count(), und.count()
+
+    if n_nodes <= broadcast_threshold and n_edges <= broadcast_threshold:
+        # driver union-find over streamed batches — both sizes verified
+        # small FIRST (the reachable_from_ds gating pattern)
+        parent: dict = {r["node"]: r["node"] for r in nodes.take_all()}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for b in und.iter_batches(batch_format="pyarrow"):
+            for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union by label order so the root IS the min name
+                    lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                    parent[hi] = lo
+        items = sorted((n, find(n)) for n in parent)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([n for n, _ in items], type=pa.string()),
+                    "label": pa.array([c for _, c in items], type=pa.string()),
+                }
+            )
+        )
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def signature(ds: ray.data.Dataset) -> tuple[int, int]:
+        def part(t: pa.Table) -> pa.Table:
+            joined = pc.binary_join_element_wise(
+                pc.cast(t["node"], pa.string()),
+                pc.cast(t["label"], pa.string()),
+                "\x1f",
+            )
+            h = _stable_hash64(joined.combine_chunks())
+            s = int(h.sum(dtype=np.uint64)) & ((1 << 63) - 1)
+            return pa.table(
+                {
+                    "s": pa.array([s], type=pa.int64()),
+                    "n": pa.array([len(t)], type=pa.int64()),
+                }
+            )
+
+        rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+        return (
+            sum(r["s"] for r in rows) & ((1 << 63) - 1),
+            sum(r["n"] for r in rows),
+        )
+
+    def pre_min(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("node")
+            .aggregate([("label", "min")])
+            .rename_columns(["node", "label"])
+        )
+
+    cur = signature(labels)
+    for _ in range(max_rounds):
+        neigh = bucketed_join(
+            und, labels, on="src", right_on="node", how="inner"
+        )
+        cand = neigh.map_batches(
+            lambda t: pre_min(
+                pa.table({"node": t["dst"], "label": t["label"]})
+            ),
+            batch_format="pyarrow",
+        )
+        labels = grouped_agg(
+            cand.union(labels), ["node"], {"label": ("label", "min")}
+        ).materialize()
+        new = signature(labels)
+        if new == cur:
+            break
+        cur = new
+    return labels
+
+
+def kg_components(sf_dir: str) -> ray.data.Dataset:
+    """Driver query: connected components of the entity co-occurrence
+    graph (undirected view of the deduped triple set).
+
+    Output: (name, component) — component = lexicographic min entity name
+    in the component.  Oracle: recursive min-reachability CTE."""
+    from ..pipelines.docs_kg import kg_triples
+
+    triples = kg_triples(sf_dir).select_columns(["subj_name", "obj_name"])
+    comp = connected_components_ds(
+        triples, src_col="subj_name", dst_col="obj_name"
+    )
+    return comp.map_batches(
+        lambda t: pa.table({"name": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 def prune_orphans_to_fixpoint(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -259,6 +406,25 @@ reach(name, hops) AS (
   WHERE r.hops < 25
 )
 SELECT name, CAST(min(hops) AS BIGINT) AS hops FROM reach GROUP BY name
+""",
+    "kg_components": """
+WITH RECURSIVE
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+{VOCAB},
+pairs AS (
+  SELECT DISTINCT a.tok AS w1, b.tok AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
+),
+und AS (SELECT w1 AS a, w2 AS b FROM pairs UNION SELECT w2, w1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
+)
+SELECT n AS name, min(m) AS component FROM reach GROUP BY n
 """,
     "kg_head_entities": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -114,3 +114,37 @@ def test_reachable_join_path_equals_broadcast_path():
     got_bcast = reachable_from(ds, {"n000"}, broadcast_threshold=10**6)
     assert got_join == exp
     assert got_bcast == exp
+
+
+def test_connected_components_multi_component_both_paths():
+    """A 3-component graph (chain, triangle+pendant, isolated self-loop):
+    labels must be each component's min name, identical on the driver
+    union-find fast path and the forced distributed label-propagation
+    path (threshold 1)."""
+    import pyarrow as pa
+    import ray.data
+
+    from clangd_to_neo4j_ray.stages.graph_algo import connected_components_ds
+
+    edges = [
+        ("b", "a"), ("b", "c"), ("c", "d"),          # chain a-b-c-d
+        ("x", "y"), ("y", "z"), ("z", "x"), ("z", "w"),  # triangle + pendant
+        ("m", "m"),                                   # self-loop
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], type=pa.string()),
+                "dst": pa.array([e[1] for e in edges], type=pa.string()),
+            }
+        )
+    )
+    expected = {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "w", "y": "w", "z": "w", "w": "w",
+        "m": "m",
+    }
+    for thr in (100_000, 1):  # fast path, then forced label propagation
+        out = connected_components_ds(ds, broadcast_threshold=thr).to_pandas()
+        got = dict(zip(out["node"], out["label"]))
+        assert got == expected, (thr, got)

@@ -11,6 +11,7 @@ from .util import assert_matches_oracle
 
 NAMES = [
     "kg_reachability",
+    "kg_components",
     "kg_head_entities",
     "text_quality",
     "text_langid",
