@@ -125,6 +125,9 @@ register(
     "kg_components", _galgo.kg_components, _galgo.ORACLE_SQL["kg_components"]
 )
 register(
+    "kg_pagerank", _galgo.kg_pagerank, _galgo.ORACLE_SQL["kg_pagerank"]
+)
+register(
     "kg_head_entities", _galgo.kg_head_entities, _galgo.ORACLE_SQL["kg_head_entities"]
 )
 

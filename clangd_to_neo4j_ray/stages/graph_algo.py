@@ -318,6 +318,218 @@ def kg_components(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+PR_SCALE = 1_000_000  # fixed-point PageRank scale (integer-exact oracle)
+PR_ITERS = 5  # fixed iteration count, unrolled identically in the oracle
+
+
+def pagerank_ds(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+) -> ray.data.Dataset:
+    """Integer-exact PageRank over the DISTINCT directed edge set:
+    Dataset of (node, pr_scaled).
+
+    Fixed-point arithmetic so the DuckDB oracle reproduces every bit:
+    init = scale // n_nodes; each of ``iters`` rounds computes
+    pr(i) = (15 * init) // 100 + (85 * sum_{j->i} (pr(j) // outdeg(j))) // 100
+    — the damping split and both floor divisions are identical on both
+    sides (dangling-node mass is dropped, not redistributed: a defined,
+    documented variant chosen for exact reproducibility).
+
+    Size-gated like ``connected_components_ds``: driver numpy when node
+    and edge counts verify under ``broadcast_threshold``; otherwise each
+    round is two bucketed exchanges (contribution join keyed on source;
+    per-destination sum fused with a zero row per node so no left join is
+    needed) — rank state never lands on the driver.
+    """
+    from .joins import bucketed_join
+    from .shuffle import distinct, grouped_agg
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t[src_col], pa.string()),
+                "dst": pc.cast(t[dst_col], pa.string()),
+            }
+        )
+
+    pairs = distinct(
+        edges.map_batches(norm, batch_format="pyarrow"), ["src", "dst"]
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pc.unique(t["src"].combine_chunks()),
+                        pc.unique(t["dst"].combine_chunks()),
+                    ]
+                )
+            }
+        )
+
+    nodes = distinct(
+        pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"]
+    ).materialize()
+    n_nodes, n_edges = nodes.count(), pairs.count()
+    init = scale // max(1, n_nodes)
+    tele = (15 * init) // 100
+
+    if n_nodes <= broadcast_threshold and n_edges <= broadcast_threshold:
+        node_list = sorted(r["node"] for r in nodes.take_all())
+        idx = {n: i for i, n in enumerate(node_list)}
+        src = np.empty(n_edges, dtype=np.int64)
+        dst = np.empty(n_edges, dtype=np.int64)
+        k = 0
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+                src[k], dst[k] = idx[s], idx[d]
+                k += 1
+        outdeg = np.bincount(src, minlength=n_nodes)
+        pr = np.full(n_nodes, init, dtype=np.int64)
+        for _ in range(iters):
+            contrib = pr[src] // outdeg[src]
+            s = np.bincount(dst, weights=contrib, minlength=n_nodes).astype(
+                np.int64
+            )
+            pr = tele + (85 * s) // 100
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_list, type=pa.string()),
+                    "pr_scaled": pa.array(pr, type=pa.int64()),
+                }
+            )
+        )
+
+    deg = grouped_agg(pairs, ["src"], {"outdeg": ("src", "size")})
+    pairs_deg = bucketed_join(
+        pairs, deg, on="src", how="inner"
+    ).materialize()
+    zeros = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    pr = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "v": pa.array(np.full(len(t), init, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(iters):
+        joined = bucketed_join(
+            pairs_deg, pr, on="src", right_on="node", how="inner"
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            v = t["v"].to_numpy(zero_copy_only=False)
+            d = t["outdeg"].to_numpy(zero_copy_only=False)
+            out = pa.table(
+                {"node": t["dst"], "c": pa.array(v // d, type=pa.int64())}
+            )
+            # per-batch pre-sum combiner before the exchange
+            return (
+                out.group_by("node")
+                .aggregate([("c", "sum")])
+                .rename_columns(["node", "c"])
+            )
+
+        sums = grouped_agg(
+            joined.map_batches(contrib, batch_format="pyarrow").union(zeros),
+            ["node"],
+            {"c": ("c", "sum")},
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "v": pa.array(tele + (85 * c) // 100, type=pa.int64()),
+                }
+            )
+
+        pr = sums.map_batches(update, batch_format="pyarrow").materialize()
+    return pr.map_batches(
+        lambda t: pa.table({"node": t["node"], "pr_scaled": t["v"]}),
+        batch_format="pyarrow",
+    )
+
+
+def kg_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Driver query: fixed-point PageRank of the entity co-occurrence
+    graph (the relevance-ranking statistic of a graph-RAG retrieval layer,
+    A1/A2 statistics-family analog).
+
+    Output: (name, pr_scaled) — pr x 10^6, integer-exact vs the unrolled
+    SQL oracle."""
+    from ..pipelines.docs_kg import kg_triples
+
+    triples = kg_triples(sf_dir).select_columns(["subj_name", "obj_name"])
+    pr = pagerank_ds(triples, src_col="subj_name", dst_col="obj_name")
+    return pr.map_batches(
+        lambda t: pa.table(
+            {"name": t["node"], "pr_scaled": t["pr_scaled"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain (recursive CTEs cannot
+    aggregate over their recursive reference, so each round is its own
+    plain aggregate CTE — identical integer arithmetic to pagerank_ds)."""
+    chain = ""
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        chain += f""",
+pr{i} AS (
+  SELECT nd.n,
+         (SELECT tele FROM params)
+         + (85 * COALESCE(s.c, 0)) // 100 AS v
+  FROM nodes nd LEFT JOIN (
+    SELECT p.w2 AS n, CAST(sum(x.v // d.outdeg) AS BIGINT) AS c
+    FROM pairs p JOIN {prev} x ON x.n = p.w1 JOIN deg d ON d.n = p.w1
+    GROUP BY p.w2
+  ) s ON s.n = nd.n
+)"""
+        prev = f"pr{i}"
+    return f"""
+WITH
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+{{VOCAB}},
+pairs AS (
+  SELECT DISTINCT a.tok AS w1, b.tok AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
+),
+nodes AS (SELECT w1 AS n FROM pairs UNION SELECT w2 FROM pairs),
+deg AS (SELECT w1 AS n, CAST(count(*) AS BIGINT) AS outdeg FROM pairs GROUP BY w1),
+params AS (
+  SELECT {scale} // count(*) AS init,
+         (15 * ({scale} // count(*))) // 100 AS tele
+  FROM nodes
+),
+pr0 AS (SELECT n, (SELECT init FROM params) AS v FROM nodes){chain}
+SELECT n AS name, CAST(v AS BIGINT) AS pr_scaled FROM {prev}
+"""
+
+
 def prune_orphans_to_fixpoint(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,
@@ -426,6 +638,7 @@ reach(n, m) AS (
 )
 SELECT n AS name, min(m) AS component FROM reach GROUP BY n
 """,
+    "kg_pagerank": _pagerank_oracle(),
     "kg_head_entities": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 {VOCAB}

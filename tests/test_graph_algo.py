@@ -148,3 +148,43 @@ def test_connected_components_multi_component_both_paths():
         out = connected_components_ds(ds, broadcast_threshold=thr).to_pandas()
         got = dict(zip(out["node"], out["label"]))
         assert got == expected, (thr, got)
+
+
+def test_pagerank_star_graph_both_paths():
+    """Star graph (spokes -> hub): the hub must outrank every spoke, ranks
+    must be identical on the driver fast path and the forced distributed
+    path, and the integer arithmetic must match a hand computation."""
+    import pyarrow as pa
+    import ray.data
+
+    from clangd_to_neo4j_ray.stages.graph_algo import (
+        PR_ITERS,
+        PR_SCALE,
+        pagerank_ds,
+    )
+
+    spokes = [f"s{i}" for i in range(4)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(spokes, type=pa.string()),
+                "dst": pa.array(["hub"] * 4, type=pa.string()),
+            }
+        )
+    )
+    # hand-rolled reference of the exact integer recurrence
+    n = 5
+    init = PR_SCALE // n
+    tele = (15 * init) // 100
+    pr = {x: init for x in spokes + ["hub"]}
+    for _ in range(PR_ITERS):
+        nxt = {}
+        for x in spokes + ["hub"]:
+            s = sum(pr[sp] // 1 for sp in spokes) if x == "hub" else 0
+            nxt[x] = tele + (85 * s) // 100
+        pr = nxt
+    for thr in (100_000, 1):
+        out = pagerank_ds(ds, broadcast_threshold=thr).to_pandas()
+        got = dict(zip(out["node"], out["pr_scaled"]))
+        assert got == pr, (thr, got, pr)
+    assert pr["hub"] > pr["s0"]

@@ -12,6 +12,7 @@ from .util import assert_matches_oracle
 NAMES = [
     "kg_reachability",
     "kg_components",
+    "kg_pagerank",
     "kg_head_entities",
     "text_quality",
     "text_langid",
