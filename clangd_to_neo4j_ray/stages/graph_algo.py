@@ -191,9 +191,13 @@ def connected_components_ds(
     per-node min with the current labels; labels only decrease, so
     convergence is detected by a zero-exchange per-round signature (sum of
     pinned 64-bit hashes of (node, label) rows, O(blocks) partials to the
-    driver — a 2^-64-ish false-stop risk, disclosed).  Rounds needed =
-    graph diameter (label-propagation bound); entity co-occurrence graphs
-    are shallow, and ``max_rounds`` caps pathological chains.
+    driver — a 2^-64-ish false-stop risk, disclosed).  Each round ALSO
+    chases one level of label indirection (the labels dataset joined onto
+    itself: node -> label -> label-of-label), i.e. pointer jumping — so
+    convergence needs O(log n) rounds even on adversarial path graphs, not
+    O(diameter).  Hitting ``max_rounds`` without convergence raises
+    (loud failure; silently returning partial labels would be a wrong
+    answer that looks right).
     """
     from .joins import bucketed_join
     from .shuffle import _stable_hash64, distinct, grouped_agg
@@ -245,10 +249,18 @@ def connected_components_ds(
             )
         )
 
+    from .shuffle import auto_num_buckets
+
     labels = nodes.map_batches(
         lambda t: pa.table({"node": t["node"], "label": t["node"]}),
         batch_format="pyarrow",
     ).materialize()
+    # Ray's sort-based exchange emits one output block PER INPUT BLOCK, so
+    # an iterative union(cand, chase, labels) -> exchange loop multiplies
+    # block counts ~4x per round (measured: 5 -> 1365 blocks and 2 s ->
+    # 186 s per round by round 5).  Re-coalescing the label state to a
+    # bounded block count every round keeps per-round cost flat.
+    state_blocks = auto_num_buckets(nodes)
 
     def signature(ds: ray.data.Dataset) -> tuple[int, int]:
         def part(t: pa.Table) -> pa.Table:
@@ -289,15 +301,43 @@ def connected_components_ds(
                 pa.table({"node": t["dst"], "label": t["label"]})
             ),
             batch_format="pyarrow",
-        )
-        labels = grouped_agg(
-            cand.union(labels), ["node"], {"label": ("label", "min")}
         ).materialize()
+        # pointer jumping: chase one level of indirection through the
+        # label table itself (join labels-as-edges onto labels) so chains
+        # halve every round — O(log n) rounds on any graph.  Both join
+        # outputs are materialized before the union: unioning two live
+        # all-to-all operator outputs into a third exchange stalls the
+        # streaming executor on this Ray version.
+        chase = bucketed_join(
+            labels.map_batches(
+                lambda t: pa.table({"node": t["label"], "via": t["node"]}),
+                batch_format="pyarrow",
+            ),
+            labels,
+            on="node",
+            how="inner",
+        ).map_batches(
+            lambda t: pre_min(
+                pa.table({"node": t["via"], "label": t["label"]})
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        labels = (
+            grouped_agg(
+                cand.union(chase).union(labels),
+                ["node"],
+                {"label": ("label", "min")},
+            )
+            .repartition(state_blocks)
+            .materialize()
+        )
         new = signature(labels)
         if new == cur:
-            break
+            return labels
         cur = new
-    return labels
+    raise RuntimeError(
+        f"connected_components_ds did not converge in {max_rounds} rounds"
+    )
 
 
 def kg_components(sf_dir: str) -> ray.data.Dataset:
@@ -408,10 +448,15 @@ def pagerank_ds(
             )
         )
 
+    from .shuffle import auto_num_buckets
+
     deg = grouped_agg(pairs, ["src"], {"outdeg": ("src", "size")})
     pairs_deg = bucketed_join(
         pairs, deg, on="src", how="inner"
     ).materialize()
+    # bound the rank state's block count per round (see the block-growth
+    # note in connected_components_ds)
+    state_blocks = auto_num_buckets(nodes)
     zeros = nodes.map_batches(
         lambda t: pa.table(
             {
@@ -463,7 +508,11 @@ def pagerank_ds(
                 }
             )
 
-        pr = sums.map_batches(update, batch_format="pyarrow").materialize()
+        pr = (
+            sums.map_batches(update, batch_format="pyarrow")
+            .repartition(state_blocks)
+            .materialize()
+        )
     return pr.map_batches(
         lambda t: pa.table({"node": t["node"], "pr_scaled": t["v"]}),
         batch_format="pyarrow",

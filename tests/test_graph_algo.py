@@ -188,3 +188,31 @@ def test_pagerank_star_graph_both_paths():
         got = dict(zip(out["node"], out["pr_scaled"]))
         assert got == pr, (thr, got, pr)
     assert pr["hub"] > pr["s0"]
+
+
+def test_connected_components_chain_converges_logarithmically():
+    """A 64-node path graph under the forced distributed path with
+    max_rounds=10: plain min-propagation would need ~63 rounds, so this
+    passing proves the pointer-jumping (label-of-label) chase gives
+    O(log n) convergence; non-convergence raises rather than returning
+    partial labels."""
+    import pyarrow as pa
+    import ray.data
+
+    from clangd_to_neo4j_ray.stages.graph_algo import connected_components_ds
+
+    n = 64
+    names = [f"n{i:03d}" for i in range(n)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(names[:-1], type=pa.string()),
+                "dst": pa.array(names[1:], type=pa.string()),
+            }
+        )
+    )
+    out = connected_components_ds(
+        ds, broadcast_threshold=1, max_rounds=10
+    ).to_pandas()
+    assert set(out["label"]) == {"n000"}
+    assert len(out) == n
