@@ -25,6 +25,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from .shuffle import bucketed_group_agg, distinct, grouped_agg
@@ -54,13 +55,11 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     ds = _read_docs(sf_dir)
 
     def partials(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
+        from ..functions.duck import md5_hex_arrow
+
         t = pa.table(
             {
-                "text_hash": pa.array(hashes, type=pa.string()),
+                "text_hash": md5_hex_arrow(batch["text"]),
                 "doc_id": batch["doc_id"],
             }
         )
@@ -88,9 +87,60 @@ def _doc_shingles(text: str, k: int = SHINGLE_K) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+def minhash_sig_cols(batch: pa.Table) -> tuple[np.ndarray, list[pa.Array]]:
+    """Vectorized LSH band signatures for a whole batch (VERDICT r4 #1:
+    replaces the per-shingle hashlib Python loop of ``_band_sigs`` on the
+    hot path; that scalar kernel is retained below as the parity
+    reference).
+
+    Returns ``(row_idx, band_sigs)``: ``row_idx`` (ascending) indexes the
+    batch rows that have at least one shingle; ``band_sigs[b][i]`` is the
+    band-``b`` signature of row ``row_idx[i]``.  Plan per batch: Arrow
+    shingle explode -> distinct (row, shingle) via arrow group_by (the set
+    semantics of ``_doc_shingles``) -> ONE embedded DuckDB query computing
+    the two salted md5s and all 16 per-row minhash slices vectorized in
+    C++ -> Arrow element-wise join into band signatures.  Bit-identical to
+    ``_band_sigs`` (tested)."""
+    from ..functions.duck import sql_over
+    from .text import shingle_rows
+
+    parents, sh = shingle_rows(batch, SHINGLE_K)
+    t = pa.table({"p": pa.array(parents), "s": sh})
+    t = t.group_by(["p", "s"]).aggregate([])  # distinct shingles per doc
+    mins = ", ".join(
+        f"min(substr(d, {4 * i + 1}, 4)) AS m{i}" for i in range(N_MINHASH)
+    )
+    out = sql_over(
+        f"SELECT p, {mins} FROM "
+        "(SELECT p, md5(s) || md5(s || '#') AS d FROM t) GROUP BY p ORDER BY p",
+        t=t,
+    )
+    r = N_MINHASH // N_BANDS
+    band_sigs = [
+        pc.binary_join_element_wise(
+            *(out[f"m{b * r + j}"].combine_chunks() for j in range(r)), ","
+        )
+        for b in range(N_BANDS)
+    ]
+    row_idx = out["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return row_idx, band_sigs
+
+
+def interleave_band_sigs(band_sigs: list[pa.Array]) -> np.ndarray:
+    """Stack per-band signature columns row-major (doc0 band0..B, doc1 ...)
+    — the flat value layout shared by ``_minhash_rows`` and the corpus
+    profile's list column."""
+    n = len(band_sigs[0]) if band_sigs else 0
+    flat = np.empty(n * N_BANDS, dtype=object)
+    for b, s in enumerate(band_sigs):
+        flat[b::N_BANDS] = s.to_numpy(zero_copy_only=False)
+    return flat
+
+
 def _band_sigs(text: str, memo: dict | None = None) -> list[str]:
     """LSH band signatures for one document (empty list when it has no
-    shingle).
+    shingle).  Scalar parity-reference kernel — the hot path is the
+    vectorized ``minhash_sig_cols``; tests pin the two bit-identical.
 
     minhash_i = min over shingles of a 4-hex-char slice of a salted md5:
     slices 0-7 come from md5(shingle), slices 8-15 from md5(shingle||'#')
@@ -130,19 +180,17 @@ def _band_sigs(text: str, memo: dict | None = None) -> list[str]:
 
 
 def _minhash_rows(batch: pa.Table) -> pa.Table:
-    """Per doc: N_BANDS rows (doc_id, band, sig) — see ``_band_sigs``."""
-    doc_ids, bands, sigs = [], [], []
-    memo: dict[str, str] = {}
-    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        for b, sig in enumerate(_band_sigs(text, memo)):
-            doc_ids.append(doc_id)
-            bands.append(b)
-            sigs.append(sig)
+    """Per doc: N_BANDS rows (doc_id, band, sig) — vectorized via
+    ``minhash_sig_cols`` (one embedded DuckDB md5 kernel per batch)."""
+    row_idx, band_sigs = minhash_sig_cols(batch)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)[row_idx]
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "band": pa.array(bands, type=pa.int64()),
-            "sig": pa.array(sigs, type=pa.string()),
+            "doc_id": pa.array(np.repeat(ids, N_BANDS), type=pa.int64()),
+            "band": pa.array(
+                np.tile(np.arange(N_BANDS, dtype=np.int64), len(row_idx))
+            ),
+            "sig": pa.array(interleave_band_sigs(band_sigs), type=pa.string()),
         }
     )
 
@@ -197,37 +245,35 @@ def dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     Token hash = first 15 hex chars of md5 (60 bits); bit b of the
     fingerprint is 1 iff the count-weighted +/-1 sum over tokens' bit b is
     positive.  Fully vectorized with numpy inside map_batches."""
+    from ..functions.duck import sql_over
+    from ..functions.textops import explode_tokens
+
     ds = _read_docs(sf_dir)
     bits = np.arange(SIMHASH_BITS, dtype=np.int64)
 
-    # token -> 60-bit md5 memo: natural-language vocabulary is small and
-    # Zipfian, so the same tokens recur across every doc in the batch —
-    # memoizing turns the md5-per-token loop into a dict hit ~99% of the
-    # time while staying bit-identical to the SQL oracle's md5().
-    memo: dict[str, int] = {}
-
-    def _tok_hash(t: str) -> int:
-        h = memo.get(t)
-        if h is None:
-            h = memo[t] = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-        return h
-
     def fp(batch: pa.Table) -> pa.Table:
-        out_ids, out_fp = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            toks, counts = np.unique(text.split(" "), return_counts=True)
-            hs = np.array([_tok_hash(t) for t in toks], dtype=np.int64)
-            signs = (((hs[:, None] >> bits[None, :]) & 1) * 2 - 1)  # (T, 60)
-            sums = (signs * counts[:, None]).sum(axis=0)
-            fp_val = int(((sums > 0).astype(np.int64) << bits).sum())
-            out_ids.append(doc_id)
-            out_fp.append(fp_val)
+        # per-(doc, token) counts via arrow group_by, then ONE embedded
+        # DuckDB kernel hashing each distinct (doc, token) row — the
+        # md5-per-token Python loop + memo of r2-r4 is gone (VERDICT r4 #1)
+        flat, _pos, parents = explode_tokens(batch)
+        t = pa.table({"p": pa.array(parents), "tok": flat})
+        per_tok = t.group_by(["p", "tok"]).aggregate([([], "count_all")])
+        out = sql_over(
+            "SELECT p, count_all AS c,"
+            " CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t",
+            t=per_tok,
+        )
+        p = out["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = out["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = out["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        signs = ((hs[:, None] >> bits[None, :]) & 1) * 2 - 1  # (rows, 60)
+        sums = np.zeros((len(batch), SIMHASH_BITS), dtype=np.int64)
+        np.add.at(sums, p, signs * counts[:, None])
+        fp_vals = ((sums > 0).astype(np.int64) << bits[None, :]).sum(axis=1)
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, type=pa.int64()),
-                "simhash": pa.array(out_fp, type=pa.int64()),
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(fp_vals, type=pa.int64()),
             }
         )
 
@@ -251,24 +297,26 @@ def _ngram_shingle_rows(batch: pa.Table) -> pa.Table:
     what lets the whole operator run in two exchanges: the per-doc set
     sizes ride through the pair expansion, so no count join is ever needed
     (round 3; the r2 plan paid two bucketed joins and a second tokenize
-    pass for them)."""
-    src_out, doc_out, s_out, n_out = [], [], [], []
-    for src, doc_id, text in zip(
-        batch["source"].to_pylist(),
-        batch["doc_id"].to_pylist(),
-        batch["text"].to_pylist(),
-    ):
-        sh = _doc_shingles(text, 2)
-        src_out.extend([src] * len(sh))
-        doc_out.extend([doc_id] * len(sh))
-        s_out.extend(sh)
-        n_out.extend([len(sh)] * len(sh))
+    pass for them).  Vectorized: Arrow shingle explode + per-doc distinct
+    via arrow group_by (r5; was a per-doc Python set loop)."""
+    from .text import shingle_rows
+
+    parents, sh = shingle_rows(batch, 2)
+    d = (
+        pa.table({"p": pa.array(parents), "s": sh})
+        .group_by(["p", "s"])
+        .aggregate([])
+    )
+    p = d["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_sh = np.bincount(p, minlength=len(batch)).astype(np.int64)
+    src = batch["source"].to_numpy(zero_copy_only=False)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "source": pa.array(src_out, type=pa.string()),
-            "doc_id": pa.array(doc_out, type=pa.int64()),
-            "s": pa.array(s_out, type=pa.string()),
-            "n_sh": pa.array(n_out, type=pa.int64()),
+            "source": pa.array(src[p], type=pa.string()),
+            "doc_id": pa.array(ids[p], type=pa.int64()),
+            "s": d["s"].combine_chunks(),
+            "n_sh": pa.array(n_sh[p]),
         }
     )
 

@@ -15,13 +15,27 @@ eval splits cut BEFORE dedup/filtering so leakage checks can join back).
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 import ray.data
 
+from ..functions.duck import sql_over
+
 SPLIT_SEED = "split0"
 TRAIN_HEX_CUTOFF = "e6"  # md5-hex 2-char prefix < 'e6': 230/256 ~ 89.8% train
+
+
+def _split_tags(doc_ids: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized split assignment — ONE embedded DuckDB projection per
+    batch computing the md5 tag in C++ (VERDICT r4 #1; order-preserving,
+    bit-identical to the old per-row hashlib loop, tested)."""
+    t = pa.table({"i": doc_ids})
+    out = sql_over(
+        "SELECT CASE WHEN substr(md5(CAST(i AS VARCHAR) || "
+        f"'|{SPLIT_SEED}'), 1, 2) < '{TRAIN_HEX_CUTOFF}' "
+        "THEN 'train' ELSE 'val' END AS split FROM t",
+        t=t,
+    )
+    return out["split"].combine_chunks()
 
 
 def split_train_val(sf_dir: str) -> ray.data.Dataset:
@@ -33,12 +47,7 @@ def split_train_val(sf_dir: str) -> ray.data.Dataset:
     )
 
     def assign(batch: pa.Table) -> pa.Table:
-        pre = [
-            hashlib.md5(f"{i}|{SPLIT_SEED}".encode()).hexdigest()[:2]
-            for i in batch["doc_id"].to_pylist()
-        ]
-        split = ["train" if p < TRAIN_HEX_CUTOFF else "val" for p in pre]
-        return batch.append_column("split", pa.array(split, type=pa.string()))
+        return batch.append_column("split", _split_tags(batch["doc_id"]))
 
     return ds.map_batches(assign, batch_format="pyarrow")
 
@@ -75,11 +84,12 @@ def sample_stratified_ds(
     from .packing import grouped_head_n
 
     def keyed(batch: pa.Table) -> pa.Table:
-        rk = [
-            hashlib.md5(f"{i}|{SAMPLE_SEED}".encode()).hexdigest()
-            for i in batch["doc_id"].to_pylist()
-        ]
-        return batch.append_column("rk", pa.array(rk, type=pa.string()))
+        t = pa.table({"i": batch["doc_id"]})
+        rk = sql_over(
+            f"SELECT md5(CAST(i AS VARCHAR) || '|{SAMPLE_SEED}') AS rk FROM t",
+            t=t,
+        )["rk"].combine_chunks()
+        return batch.append_column("rk", rk)
 
     sampled = grouped_head_n(
         ds.map_batches(keyed, batch_format="pyarrow"),
@@ -116,12 +126,7 @@ def split_contamination(sf_dir: str) -> ray.data.Dataset:
     fps = text_fingerprint(sf_dir)
 
     def add_split(batch: pa.Table) -> pa.Table:
-        pre = [
-            hashlib.md5(f"{i}|{SPLIT_SEED}".encode()).hexdigest()[:2]
-            for i in batch["doc_id"].to_pylist()
-        ]
-        split = ["train" if p < TRAIN_HEX_CUTOFF else "val" for p in pre]
-        return batch.append_column("split", pa.array(split, type=pa.string()))
+        return batch.append_column("split", _split_tags(batch["doc_id"]))
 
     tagged = fps.map_batches(add_split, batch_format="pyarrow").materialize()
 

@@ -8,8 +8,6 @@ integer-valued to keep the oracle comparison rounding-free.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -263,31 +261,50 @@ def source_mix_weights(sf_dir: str) -> pa.Table:
     )
 
 
+def shingle_rows(
+    batch: pa.Table, k: int, *, text_col: str = "text"
+) -> tuple[np.ndarray, pa.Array]:
+    """All k-token shingles of a batch, fully vectorized.
+
+    Returns ``(parents, shingles)``: row index into ``batch`` and the
+    joined k-token shingle string, one row per shingle occurrence (not
+    deduplicated).  Shingles never cross documents (k shifted token slices
+    joined element-wise, masked to runs whose endpoints share a parent —
+    parents are non-decreasing, so endpoint equality implies the whole run
+    is one document)."""
+    flat, _pos, parents = explode_tokens(batch, text_col=text_col)
+    n = len(flat)
+    if n < k:
+        return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+    parts = [flat.slice(j, n - k + 1) for j in range(k)]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    mask = parents[k - 1 :] == parents[: n - k + 1]
+    if not mask.all():
+        sh = sh.filter(pa.array(mask))
+    return parents[: n - k + 1][mask], sh
+
+
 def text_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Winnowing-style document fingerprint: min md5 over 5-token shingles.
 
     Output: (doc_id, fp) for documents with >= 5 tokens.  The rolling-hash
-    fingerprint analog with md5 for SQL parity."""
+    fingerprint analog with md5 for SQL parity.  The shingle explode is
+    Arrow-vectorized and the md5+min-per-doc kernel runs as ONE embedded
+    DuckDB query per batch (VERDICT r4 #1: the per-shingle hashlib Python
+    loop was the engine's dominant CPU sink at corpus scale)."""
+    from ..functions.duck import sql_over
+
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        ids, fps = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = text.split(" ")
-            if len(toks) < FINGERPRINT_K:
-                continue
-            m = min(
-                hashlib.md5(
-                    " ".join(toks[i : i + FINGERPRINT_K]).encode("utf-8")
-                ).hexdigest()
-                for i in range(len(toks) - FINGERPRINT_K + 1)
-            )
-            ids.append(doc_id)
-            fps.append(m)
+        parents, sh = shingle_rows(batch, FINGERPRINT_K)
+        t = pa.table({"p": pa.array(parents), "s": sh})
+        out = sql_over("SELECT p, min(md5(s)) AS fp FROM t GROUP BY p ORDER BY p", t=t)
+        pidx = out["p"].combine_chunks()
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "fp": pa.array(fps, type=pa.string()),
+                "doc_id": pc.take(batch["doc_id"].combine_chunks(), pidx),
+                "fp": out["fp"].combine_chunks(),
             }
         )
 
