@@ -178,6 +178,7 @@ def connected_components_ds(
     dst_col: str = "dst",
     max_rounds: int = 50,
     broadcast_threshold: int = BROADCAST_THRESHOLD,
+    round_edge_counts: list[int] | None = None,
 ) -> ray.data.Dataset:
     """Connected components of the undirected graph: Dataset of
     (node, label), label = lexicographic min node name of the component.
@@ -186,21 +187,37 @@ def connected_components_ds(
     counts sit under ``broadcast_threshold`` the components are finished
     on the driver with a union-find over the streamed edge batches (zero
     exchanges past the input's own distinct).  Above the threshold,
-    distributed min-label propagation: each round joins labels onto edge
-    sources (bucketed exchange, per-batch pre-min combiner) and takes the
-    per-node min with the current labels; labels only decrease, so
-    convergence is detected by a zero-exchange per-round signature (sum of
-    pinned 64-bit hashes of (node, label) rows, O(blocks) partials to the
-    driver — a 2^-64-ish false-stop risk, disclosed).  Each round ALSO
-    chases one level of label indirection (the labels dataset joined onto
-    itself: node -> label -> label-of-label), i.e. pointer jumping — so
-    convergence needs O(log n) rounds even on adversarial path graphs, not
-    O(diameter).  Hitting ``max_rounds`` without convergence raises
-    (loud failure; silently returning partial labels would be a wrong
-    answer that looks right).
+    distributed min-label propagation with two r5 upgrades over the r4
+    plan:
+
+    - **Delta rounds** (VERDICT r4 next #4): after round 1, only edges
+      whose source label changed LAST round enter the contribution join
+      (one semi-join of ``und`` against the changed-node set) — once most
+      of the graph has converged, per-round exchange input drops from
+      O(|E|) to O(edges touching still-moving nodes).  Exact: any label
+      value a node holds was propagated to all its neighbours in the round
+      after it was acquired, and labels only decrease, so skipping edges
+      from unchanged sources skips only already-applied contributions.
+    - **Exact convergence** (r4 ADVICE): the previous labels ride the
+      min-fold exchange tagged with their own value (``old_label``), so
+      the reducer emits both the new min and the old label per node and
+      the changed set falls out as a filter — zero extra exchanges, and
+      the stop condition is ``changed == 0`` exactly (the r4 sum-of-hashes
+      signature and its disclosed 2^-63 false-stop are gone).
+
+    Each round ALSO chases one level of label indirection (the labels
+    dataset joined onto itself: node -> label -> label-of-label), i.e.
+    pointer jumping — so convergence needs O(log n) rounds even on
+    adversarial path graphs, not O(diameter).  Hitting ``max_rounds``
+    without convergence raises (loud failure; silently returning partial
+    labels would be a wrong answer that looks right).
+
+    ``round_edge_counts``, when given, receives the contribution-join
+    input edge count per round (test instrumentation for the delta
+    shrinkage).
     """
     from .joins import bucketed_join
-    from .shuffle import _stable_hash64, distinct, grouped_agg
+    from .shuffle import distinct, grouped_agg
 
     def both(t: pa.Table) -> pa.Table:
         a = pc.cast(t[src_col], pa.string()).combine_chunks()
@@ -262,28 +279,6 @@ def connected_components_ds(
     # bounded block count every round keeps per-round cost flat.
     state_blocks = auto_num_buckets(nodes)
 
-    def signature(ds: ray.data.Dataset) -> tuple[int, int]:
-        def part(t: pa.Table) -> pa.Table:
-            joined = pc.binary_join_element_wise(
-                pc.cast(t["node"], pa.string()),
-                pc.cast(t["label"], pa.string()),
-                "\x1f",
-            )
-            h = _stable_hash64(joined.combine_chunks())
-            s = int(h.sum(dtype=np.uint64)) & ((1 << 63) - 1)
-            return pa.table(
-                {
-                    "s": pa.array([s], type=pa.int64()),
-                    "n": pa.array([len(t)], type=pa.int64()),
-                }
-            )
-
-        rows = ds.map_batches(part, batch_format="pyarrow").take_all()
-        return (
-            sum(r["s"] for r in rows) & ((1 << 63) - 1),
-            sum(r["n"] for r in rows),
-        )
-
     def pre_min(t: pa.Table) -> pa.Table:
         return (
             t.group_by("node")
@@ -291,10 +286,26 @@ def connected_components_ds(
             .rename_columns(["node", "label"])
         )
 
-    cur = signature(labels)
+    def tag_new(t: pa.Table) -> pa.Table:
+        return t.append_column("old_label", pa.nulls(len(t), type=pa.string()))
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        return t.append_column("old_label", t["label"])
+
+    changed: ray.data.Dataset | None = None  # None => round 1: all nodes
     for _ in range(max_rounds):
+        if changed is None:
+            src_edges = und
+        else:
+            # delta round: only edges whose source label changed last
+            # round can lower a neighbour — semi-join on the changed set
+            src_edges = bucketed_join(
+                und, changed, on="src", right_on="node", how="semi"
+            ).materialize()
+        if round_edge_counts is not None:
+            round_edge_counts.append(src_edges.count())
         neigh = bucketed_join(
-            und, labels, on="src", right_on="node", how="inner"
+            src_edges, labels, on="src", right_on="node", how="inner"
         )
         cand = neigh.map_batches(
             lambda t: pre_min(
@@ -304,10 +315,12 @@ def connected_components_ds(
         ).materialize()
         # pointer jumping: chase one level of indirection through the
         # label table itself (join labels-as-edges onto labels) so chains
-        # halve every round — O(log n) rounds on any graph.  Both join
-        # outputs are materialized before the union: unioning two live
-        # all-to-all operator outputs into a third exchange stalls the
-        # streaming executor on this Ray version.
+        # halve every round — O(log n) rounds on any graph.  Runs on the
+        # FULL label table every round (O(|V|), cheap next to the edge
+        # join — and required for exactness of the delta argument above).
+        # Both join outputs are materialized before the union: unioning
+        # two live all-to-all operator outputs into a third exchange
+        # stalls the streaming executor on this Ray version.
         chase = bucketed_join(
             labels.map_batches(
                 lambda t: pa.table({"node": t["label"], "via": t["node"]}),
@@ -322,19 +335,36 @@ def connected_components_ds(
             ),
             batch_format="pyarrow",
         ).materialize()
-        labels = (
+        # ONE min-fold exchange computes the new label AND the old label
+        # per node (old labels ride tagged; polars min skips the nulls on
+        # the new rows), so the changed set and the exact stop condition
+        # cost no extra exchange.
+        merged = (
             grouped_agg(
-                cand.union(chase).union(labels),
+                cand.map_batches(tag_new, batch_format="pyarrow")
+                .union(chase.map_batches(tag_new, batch_format="pyarrow"))
+                .union(labels.map_batches(tag_old, batch_format="pyarrow")),
                 ["node"],
-                {"label": ("label", "min")},
+                {"label": ("label", "min"), "old_label": ("old_label", "min")},
             )
             .repartition(state_blocks)
             .materialize()
         )
-        new = signature(labels)
-        if new == cur:
+        labels = merged.map_batches(
+            lambda t: t.select(["node", "label"]), batch_format="pyarrow"
+        ).materialize()
+        changed = merged.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.filter(
+                        pc.not_equal(t["label"], t["old_label"])
+                    )["node"]
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if changed.count() == 0:
             return labels
-        cur = new
     raise RuntimeError(
         f"connected_components_ds did not converge in {max_rounds} rounds"
     )
