@@ -93,6 +93,16 @@ register(
     _sampling.split_contamination,
     _sampling.ORACLE_SQL["split_contamination"],
 )
+register(
+    "decontam_ngram",
+    _sampling.decontam_ngram,
+    _sampling.ORACLE_SQL["decontam_ngram"],
+)
+register(
+    "decontam_dead_letters",
+    _sampling.decontam_dead_letters,
+    _sampling.ORACLE_SQL["decontam_dead_letters"],
+)
 
 # --- similarity search ---
 from .stages import similarity as _sim

