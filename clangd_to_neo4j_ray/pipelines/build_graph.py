@@ -25,7 +25,12 @@ import ray.data
 from ..sources.fixtures import EntityRecord
 from ..stages.canonicalize import canonicalize_triples
 from ..stages.extract import extract_stage
-from ..stages.hierarchy import domain_dataset, hierarchy_edges, hierarchy_nodes
+from ..stages.hierarchy import (
+    domain_dataset,
+    folder_dataset,
+    hierarchy_edges,
+    hierarchy_nodes,
+)
 from ..stages.linking import link_scan_stage, split_link_scan
 from ..stages.shuffle import distinct
 
@@ -65,7 +70,8 @@ def graph_nodes_edges(
     ).map_batches(_entity_rows, batch_format="pyarrow")
 
     domains = domain_dataset(pages_urls).materialize()  # small, shared
-    nodes = hierarchy_nodes(pages_urls, domains).union(entity_nodes)
+    folders = folder_dataset(pages_urls).materialize()  # small, shared
+    nodes = hierarchy_nodes(pages_urls, domains, folders).union(entity_nodes)
 
     triple_edges = triples.map_batches(
         lambda t: pa.table(
@@ -112,7 +118,11 @@ def graph_nodes_edges(
         batch_format="pyarrow",
     )
 
-    edges = hierarchy_edges(pages_urls, domains).union(mention_edges).union(triple_edges)
+    edges = (
+        hierarchy_edges(pages_urls, domains, folders)
+        .union(mention_edges)
+        .union(triple_edges)
+    )
     return nodes, edges
 
 
