@@ -130,17 +130,28 @@ def run_core() -> dict:
     }
 
 
-def run_queries() -> dict[str, float]:
+QUERY_PASSES = int(os.environ.get("BENCH_QUERY_PASSES", "2"))
+HEADLINE_PASSES = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
+
+
+def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Min-of-N with INTERLEAVED passes (VERDICT r4 next #7): the whole
+    catalog runs N times pass-by-pass, so a co-tenant load transient hits
+    every query alike instead of inflating whichever queries ran during
+    the busy minute (the r4 single-pass artifact read 2.4x slow and cost a
+    false regression scare).  Returns (min per query, all runs per query).
+    """
     from clangd_to_neo4j_ray.queries import QUERIES
 
-    out = {}
-    for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        r = fn(SF_DIR)
-        if hasattr(r, "count"):
-            r.count()  # execute the pipeline
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    runs: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(max(1, QUERY_PASSES)):
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            r = fn(SF_DIR)
+            if hasattr(r, "count"):
+                r.count()  # execute the pipeline
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    return {name: min(v) for name, v in runs.items()}, runs
 
 
 def main() -> None:
@@ -162,8 +173,10 @@ def main() -> None:
 
     tune_data_context()
 
-    headline = run_headline()
-    queries = run_queries()
+    # headline min-of-N too (same rationale as the query passes)
+    hl_runs = [run_headline() for _ in range(max(1, HEADLINE_PASSES))]
+    headline = min(hl_runs, key=lambda h: h["headline_sec"])
+    queries, query_runs = run_queries()
     ray.shutdown()
 
     print(
@@ -173,6 +186,8 @@ def main() -> None:
                 "value": headline["headline_sec"],
                 "unit": "sec",
                 "queries": queries,
+                "query_runs": query_runs,
+                "headline_runs": [h["headline_sec"] for h in hl_runs],
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 **headline,

@@ -13,6 +13,21 @@ import os
 import ray
 
 
+# Outcome of the import-time fsspec pin (ADVICE r4): "real" — the genuine
+# module imports; "stub" — our raising stub is installed (probe is
+# thread-safe); "absent" — neither (fsspec itself missing, Ray's
+# ModuleNotFoundError branch applies); "failed" — the installer errored.
+_FSSPEC_HTTP_PIN: str = "failed"
+
+
+def fsspec_http_probe_safe() -> bool:
+    """True when Ray's per-path fsspec.http probe cannot race (the real
+    module imports, our stub is pinned, or fsspec is absent entirely) —
+    the precondition for multi-threaded checkpoint writers
+    (state/checkpoint.py)."""
+    return _FSSPEC_HTTP_PIN in ("real", "stub", "absent")
+
+
 def _pin_fsspec_http_stub() -> None:
     """Make Ray's per-path ``fsspec.implementations.http`` probe thread-safe.
 
@@ -29,10 +44,14 @@ def _pin_fsspec_http_stub() -> None:
     check deterministically False — exactly the behavior of the
     ModuleNotFoundError branch — and the cached module ends the per-call
     import attempts entirely."""
+    global _FSSPEC_HTTP_PIN
     try:
         from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
 
+        _FSSPEC_HTTP_PIN = "real"
         return  # real module works; nothing to do
+    except ModuleNotFoundError:
+        _FSSPEC_HTTP_PIN = "absent"  # provisional: no fsspec at all?
     except ImportError:
         pass
     try:
@@ -43,14 +62,30 @@ def _pin_fsspec_http_stub() -> None:
 
         mod = types.ModuleType("fsspec.implementations.http")
 
-        class HTTPFileSystem:  # sentinel: never instantiated, isinstance-False
-            pass
+        class _StubHTTPFileSystem:
+            """Import-race stub (ADVICE r4: distinctly named so any other
+            in-process fsspec consumer that resolves it fails LOUDLY with
+            this message, not a confusing TypeError): Ray only needs the
+            attribute for an ``isinstance`` check, which is always False;
+            instantiating it means real HTTP filesystem access was wanted."""
 
-        mod.HTTPFileSystem = HTTPFileSystem
+            def __init__(self, *a, **kw):
+                raise ImportError(
+                    "fsspec.implementations.http is stubbed by "
+                    "clangd_to_neo4j_ray.context (aiohttp is not installed; "
+                    "the real HTTPFileSystem cannot be imported in this "
+                    "environment). Install aiohttp for real HTTP filesystem "
+                    "access."
+                )
+
+        mod.HTTPFileSystem = _StubHTTPFileSystem
         sys.modules["fsspec.implementations.http"] = mod
         _impl.http = mod
+        _FSSPEC_HTTP_PIN = "stub"
+    except ModuleNotFoundError:
+        _FSSPEC_HTTP_PIN = "absent"  # fsspec itself absent: Ray's branch handles it
     except Exception:
-        pass  # fsspec itself absent: Ray's ModuleNotFoundError branch handles it
+        _FSSPEC_HTTP_PIN = "failed"
 
 
 _pin_fsspec_http_stub()

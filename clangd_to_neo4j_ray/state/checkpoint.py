@@ -93,10 +93,18 @@ class StageCheckpoint:
         completed partition under a lock (a crash still resumes from
         whatever finished), and dataset CONSTRUCTION is serialized under
         the same lock (the parquet datasource import path is not
-        thread-safe on this Ray version) — only EXECUTION overlaps.
-        1 keeps the deterministic sequential order.
+        thread-safe on this Ray version).  ``write_parquet`` submission
+        runs OUTSIDE the lock (that is where the concurrency comes from);
+        its path resolution re-probes ``fsspec.implementations.http``,
+        which is only race-free when the context module's import-time pin
+        succeeded — so concurrency > 1 is DOWNGRADED to 1 with a warning
+        when ``context.fsspec_http_probe_safe()`` is false (ADVICE r4: the
+        pin installer swallowing a failure must not silently reopen the
+        ImportError race).  1 keeps the deterministic sequential order.
         """
         import threading
+
+        from ..context import fsspec_http_probe_safe
 
         parts = list_partitions(input_dir)
         computed, skipped, purged = [], [], []
@@ -149,6 +157,17 @@ class StageCheckpoint:
         n_threads = max_concurrent or int(
             os.environ.get("GRAFT_CKPT_CONCURRENCY", "1")
         )
+        if n_threads > 1 and not fsspec_http_probe_safe():
+            import warnings
+
+            warnings.warn(
+                "StageCheckpoint: fsspec http probe pin is absent; "
+                "concurrent partition writes would race on the fsspec "
+                "import — downgrading max_concurrent to 1",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            n_threads = 1
         if n_threads <= 1:
             for pid, path, fp in todo:
                 computed.append(compute_one(pid, path, fp))
