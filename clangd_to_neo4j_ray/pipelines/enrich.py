@@ -460,8 +460,118 @@ def enrich_documents(
     )
 
 
+def _doc_summaries_with_source(
+    sf_dir: str, llm_api: str | None, embed_api: str | None
+) -> ray.data.Dataset:
+    """(source, summary) per document — the leaf level feeding the
+    oracle-checked rollup queries (same summarize call as
+    ``enrich_documents``, with the source carried for grouping)."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
+    n_rows = parquet_rows_hint(path)
+
+    class LeafSummarizer:
+        def __init__(self, la=llm_api):
+            self.llm = get_llm_client(la)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            summaries = [
+                self.llm.summarize(f"doc:{i}", None, t)
+                for i, t in zip(ids, texts)
+            ]
+            return pa.table(
+                {
+                    "source": batch["source"],
+                    "summary": pa.array(summaries, type=pa.string()),
+                }
+            )
+
+    return ds.map_batches(
+        LeafSummarizer,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=_pool_size(llm_api, n_rows, 1024),
+    )
+
+
+def enrich_rollup_sources(
+    sf_dir: str,
+    *,
+    llm_api: str | None = None,
+    embed_api: str | None = None,
+) -> ray.data.Dataset:
+    """Per-source rollup of document summaries through the REAL rollup
+    machinery (A5/A6 with an exact oracle — the fake client's md5 format
+    is SQL-expressible even for children rollups, so the grouped
+    summarize-of-summaries is value-checked end-to-end, not just pytested).
+
+    Output: (source, n_docs, summary, emb_norm_int)."""
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_agg
+
+    llm = get_llm_client(llm_api)
+    embedder = get_embedding_client(embed_api)
+    leaves = _doc_summaries_with_source(sf_dir, llm_api, embed_api)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for source, grp in g.groupby("source", sort=False):
+            s = llm.summarize(source, grp["summary"].tolist(), None)
+            norm = int(np.rint(np.linalg.norm(embedder.encode([s])[0]) * 1000))
+            rows.append((source, len(grp), s, norm))
+        out = pd.DataFrame(
+            rows, columns=["source", "n_docs", "summary", "emb_norm_int"]
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["emb_norm_int"] = out["emb_norm_int"].astype("int64")
+        return out
+
+    return bucketed_group_agg(leaves, ["source"], roll)
+
+
+def enrich_project(
+    sf_dir: str,
+    *,
+    llm_api: str | None = None,
+    embed_api: str | None = None,
+) -> pa.Table:
+    """A7 with an exact oracle: the one project record derived from the
+    per-source rollups via the tree-reduced ``project_summary`` (at this
+    source count the tree is a single final call, so the SQL's nested
+    string_agg reproduces it bit-exactly).
+
+    Output: (node_id, summary, emb_norm_int) — one row."""
+    rollups = enrich_rollup_sources(
+        sf_dir, llm_api=llm_api, embed_api=embed_api
+    ).map_batches(
+        lambda t: pa.table({"domain": t["source"], "summary": t["summary"]}),
+        batch_format="pyarrow",
+    )
+    rec = project_summary(rollups, llm_api=llm_api, embed_api=embed_api)
+    norm = int(np.rint(np.linalg.norm(np.asarray(rec["embedding"])) * 1000))
+    return pa.table(
+        {
+            "node_id": pa.array([rec["node_id"]], type=pa.string()),
+            "summary": pa.array([rec["summary"]], type=pa.string()),
+            "emb_norm_int": pa.array([norm], type=pa.int64()),
+        }
+    )
+
+
 # The md5-based fake client makes the model stage SQL-checkable (closes the
-# round-1 no_oracle row for enrich_documents).
+# round-1 no_oracle row for enrich_documents; r5 extends the same trick to
+# the grouped rollup and project levels — string_agg ORDER BY summary in
+# SQL == "\n".join(sorted(children)) in the fake).
+_SQL_DOC_SUMMARIES = """
+s AS (SELECT doc_id, source,
+  'summary[doc:' || doc_id || ']: ' || length(text) || ' chars ('
+    || substr(md5(text), 1, 8) || ')' AS summary
+  FROM documents)
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "enrich_documents": """
 SELECT doc_id,
@@ -469,5 +579,30 @@ SELECT doc_id,
          || substr(md5(text), 1, 8) || ')' AS summary,
        CAST(1000 AS BIGINT) AS emb_norm_int
 FROM documents
+""",
+    "enrich_rollup_sources": f"""
+WITH {_SQL_DOC_SUMMARIES}
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       'summary[' || source || ']: ' || count(*) || ' children ('
+         || substr(md5(string_agg(summary, chr(10) ORDER BY summary)), 1, 8)
+         || ')' AS summary,
+       CAST(1000 AS BIGINT) AS emb_norm_int
+FROM s GROUP BY source
+""",
+    "enrich_project": f"""
+WITH {_SQL_DOC_SUMMARIES},
+per_src AS (
+  SELECT source,
+         'summary[' || source || ']: ' || count(*) || ' children ('
+           || substr(md5(string_agg(summary, chr(10) ORDER BY summary)), 1, 8)
+           || ')' AS summary
+  FROM s GROUP BY source
+)
+SELECT 'project:root' AS node_id,
+       'summary[project:root]: ' || count(*) || ' children ('
+         || substr(md5(string_agg(summary, chr(10) ORDER BY summary)), 1, 8)
+         || ')' AS summary,
+       CAST(1000 AS BIGINT) AS emb_norm_int
+FROM per_src
 """,
 }

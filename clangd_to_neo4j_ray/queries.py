@@ -128,11 +128,8 @@ register("corpus_clean", _corpus.corpus_clean, _corpus.ORACLE_SQL["corpus_clean"
 # --- enrichment (model-driven; md5-based fake client is SQL-checkable) ---
 from .pipelines import enrich as _enrich
 
-register(
-    "enrich_documents",
-    _enrich.enrich_documents,
-    _enrich.ORACLE_SQL["enrich_documents"],
-)
+for _name in ("enrich_documents", "enrich_rollup_sources", "enrich_project"):
+    register(_name, getattr(_enrich, _name), _enrich.ORACLE_SQL[_name])
 
 # --- training-batch assembly (sequence packing + per-group top-k) ---
 from .stages import packing as _packing
