@@ -132,6 +132,10 @@ def run_core() -> dict:
 
 QUERY_PASSES = int(os.environ.get("BENCH_QUERY_PASSES", "2"))
 HEADLINE_PASSES = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
+# Soft wall-clock budget for the query passes: pass k+1 only starts if the
+# elapsed time so far projects it to finish inside the budget — a busy host
+# gets a 1-pass artifact instead of a timeout and NO artifact.
+QUERY_TIME_BUDGET = float(os.environ.get("BENCH_QUERY_BUDGET_SEC", "600"))
 
 
 def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
@@ -144,7 +148,11 @@ def run_queries() -> tuple[dict[str, float], dict[str, list[float]]]:
     from clangd_to_neo4j_ray.queries import QUERIES
 
     runs: dict[str, list[float]] = {name: [] for name in QUERIES}
-    for _ in range(max(1, QUERY_PASSES)):
+    t_start = time.perf_counter()
+    for p in range(max(1, QUERY_PASSES)):
+        elapsed = time.perf_counter() - t_start
+        if p > 0 and elapsed * (p + 1) / p > QUERY_TIME_BUDGET:
+            break  # another pass would project past the budget
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
             r = fn(SF_DIR)

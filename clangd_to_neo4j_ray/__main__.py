@@ -5,6 +5,7 @@ Usage (each owns its Ray session, like the reference's standalone mains):
 
     python -m clangd_to_neo4j_ray build --pages DIR --out DIR [--neo4j-csv]
     python -m clangd_to_neo4j_ray incremental --pages DIR --work DIR --out DIR
+    python -m clangd_to_neo4j_ray enrich --pages DIR --work DIR
     python -m clangd_to_neo4j_ray gen-fixture --out DIR --pages N [--dense]
     python -m clangd_to_neo4j_ray query NAME [--sf-dir DIR] [--limit K]
 """
@@ -47,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--work", required=True)
     i.add_argument("--out", required=True)
 
+    e = sub.add_parser(
+        "enrich", help="dirty-scope incremental enrichment (summaries+rollups)"
+    )
+    e.add_argument("--pages", required=True)
+    e.add_argument("--work", required=True)
+
     g = sub.add_parser("gen-fixture", help="deterministic pages corpus")
     g.add_argument("--out", required=True)
     g.add_argument("--pages", type=int, default=10000)
@@ -77,6 +84,20 @@ def main(argv: list[str] | None = None) -> int:
 
             r = incremental_build(args.pages, make_entities(), args.work, args.out)
             print(json.dumps({"stage1": r["stage1"]}, indent=2))
+        elif args.cmd == "enrich":
+            from .pipelines.enrich import incremental_enrich
+
+            r = incremental_enrich(args.pages, args.work)
+            print(
+                json.dumps(
+                    {
+                        "stage1": r["stage1"],
+                        "rollups": r["rollups"],
+                        "project": {"summary": r["project"]["summary"]},
+                    },
+                    indent=2,
+                )
+            )
         elif args.cmd == "gen-fixture":
             from .sources.fixtures import generate_pages_sharded
 
