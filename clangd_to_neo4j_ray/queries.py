@@ -65,6 +65,18 @@ for _name in (
 ):
     register(_name, getattr(_sampling, _name), _sampling.ORACLE_SQL[_name])
 
+# --- multimodal plumbing (r5: the fake decode's uint32 words are now
+# value-exact vs a DuckDB oracle; the float summary stays rows-only —
+# changed this round, keep ahead of the 50-entry artifact truncation) ---
+from .stages import multimodal as _mm
+
+register(
+    "multimodal_feature_words",
+    _mm.multimodal_feature_words,
+    _mm.MULTIMODAL_WORDS_SQL,
+)
+register("multimodal_features", _mm.multimodal_features)  # rows-only
+
 # --- documents-KG pipeline (flagship; SURVEY §2.2/2.4/2.5/2.6; r5: folder
 # hierarchy levels in kg_nodes/kg_edges) ---
 from .pipelines import docs_kg
@@ -195,8 +207,3 @@ def _pages_kg_flagship(sf_dir: str):
 
 
 register("pages_kg_flagship", _pages_kg_flagship)  # rows-only
-
-# --- multimodal plumbing (rows-only: md5 fake decode isn't SQL-shaped) ---
-from .stages import multimodal as _mm
-
-register("multimodal_features", _mm.multimodal_features)  # rows-only

@@ -67,8 +67,12 @@ class ImageFeatureExtractor:
         feature_dim: int = 16,
         allow_fake: bool = True,
         decoder: str = "auto",
+        output: str = "features",
     ):
         self.feature_dim = feature_dim
+        if output not in ("features", "words"):
+            raise ValueError(f"unknown output {output!r}")
+        self.output = output
         self.have_pillow = _try_import_pillow()
         if decoder == "auto":
             decoder = "pillow" if self.have_pillow else "fake"
@@ -78,14 +82,28 @@ class ImageFeatureExtractor:
             raise DecodeUnavailable("fake decode disabled and Pillow absent")
         if decoder not in ("pillow", "fake"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if output == "words" and decoder != "fake":
+            # the real decoder has no integer-word representation; words
+            # exist only for the md5 fake (and its SQL oracle)
+            raise ValueError("output='words' requires decoder='fake'")
         self.decoder = decoder
 
-    def _fake_features(self, payload: bytes) -> np.ndarray:
+    def _fake_words(self, payload: bytes) -> np.ndarray:
+        """The raw uint32 words behind the fake features.
+
+        The ``"{k}:"`` digest prefix is ASCII (not a raw byte) so that for
+        text payloads the whole kernel is reproducible in ANSI SQL
+        (``md5(k || ':' || text)`` + hex-pair little-endian reassembly) —
+        that is what upgrades the multimodal family from a rows-only check
+        to a value-exact DuckDB oracle (``multimodal_feature_words``)."""
         buf = b"".join(
-            hashlib.md5(bytes([k]) + payload).digest()
+            hashlib.md5(f"{k}:".encode() + payload).digest()
             for k in range((self.feature_dim * 4 + 15) // 16)
         )
-        v = np.frombuffer(buf, dtype=np.uint32)[: self.feature_dim]
+        return np.frombuffer(buf, dtype="<u4")[: self.feature_dim]
+
+    def _fake_features(self, payload: bytes) -> np.ndarray:
+        v = self._fake_words(payload)
         return (v.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
     def _pillow_features(self, payload: bytes) -> np.ndarray:
@@ -106,11 +124,15 @@ class ImageFeatureExtractor:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kernel = (
-            self._pillow_features
-            if self.decoder == "pillow"
-            else self._fake_features
-        )
+        if self.output == "words":
+            kernel, col, typ = self._fake_words, "feat_words", pa.list_(pa.uint32())
+        else:
+            kernel = (
+                self._pillow_features
+                if self.decoder == "pillow"
+                else self._fake_features
+            )
+            col, typ = "features", pa.list_(pa.float32())
         feats = [
             kernel(p if p is not None else b"")
             for p in batch["payload"].to_pylist()
@@ -119,9 +141,7 @@ class ImageFeatureExtractor:
             {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
-                "features": pa.array(
-                    [f.tolist() for f in feats], type=pa.list_(pa.float32())
-                ),
+                col: pa.array([f.tolist() for f in feats], type=typ),
             }
         )
 
@@ -132,6 +152,7 @@ def extract_media_features(
     feature_dim: int = 16,
     n_rows: int | None = None,
     decoder: str = "fake",
+    output: str = "features",
 ) -> ray.data.Dataset:
     """media (MEDIA_SCHEMA) -> (media_id, kind, features).
 
@@ -146,25 +167,21 @@ def extract_media_features(
     ``"auto"``) explicitly for real image payloads."""
     return media.map_batches(
         ImageFeatureExtractor,
-        fn_constructor_kwargs={"feature_dim": feature_dim, "decoder": decoder},
+        fn_constructor_kwargs={
+            "feature_dim": feature_dim,
+            "decoder": decoder,
+            "output": output,
+        },
         batch_format="pyarrow",
         batch_size=WIDE_ROW_BATCH_SIZE,
         concurrency=capped_pool_size(n_rows, WIDE_ROW_BATCH_SIZE),
     )
 
 
-def multimodal_features(sf_dir: str) -> ray.data.Dataset:
-    """Driver-visible multimodal pipeline (rows-only check: the md5 fake
-    decode's byte-level uint32 reinterpretation is not reasonably
-    SQL-expressible; determinism is pytest-gated instead).
-
-    The documents' utf-8 text bytes stand in for opaque media payloads
-    (no codec libs in this container — the decode stub is the documented
-    deterministic fake), exercising the real plumbing end to end: binary
-    column in, actor-pool feature extraction at wide-row batch size,
-    payload dropped at the stage boundary.
-
-    Output: (media_id, kind, n_dims, feat_mean)."""
+def _docs_as_media(sf_dir: str):
+    """documents.parquet -> the synthetic media dataset the driver queries
+    share (utf-8 text bytes standing in for opaque payloads — no codec libs
+    in this container).  Returns ``(media_ds, n_rows)``."""
     path = f"{sf_dir}/documents.parquet"
     docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
     n_rows = parquet_rows_hint(path)
@@ -183,8 +200,22 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    return docs.map_batches(to_media, batch_format="pyarrow"), n_rows
+
+
+def multimodal_features(sf_dir: str) -> ray.data.Dataset:
+    """Driver-visible multimodal pipeline (rows-only check — the float
+    summary layer; the underlying words are value-checked exactly by
+    ``multimodal_feature_words``'s DuckDB oracle).
+
+    Exercises the real plumbing end to end: binary column in, actor-pool
+    feature extraction at wide-row batch size, payload dropped at the
+    stage boundary.
+
+    Output: (media_id, kind, n_dims, feat_mean)."""
+    media, n_rows = _docs_as_media(sf_dir)
     feats = extract_media_features(
-        docs.map_batches(to_media, batch_format="pyarrow"),
+        media,
         n_rows=n_rows,
         # pinned: the payloads are synthetic text bytes, so the output must
         # not depend on whether a codec library happens to be installed
@@ -208,6 +239,80 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
         )
 
     return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def multimodal_feature_words(sf_dir: str, feature_dim: int = 16) -> ray.data.Dataset:
+    """Value-EXACT multimodal check: the fake decode's raw uint32 words,
+    unnested to one row per (media_id, dim).
+
+    Because the fake kernel's digest prefix is ASCII (``"{k}:"``), the whole
+    computation — md5, little-endian word reassembly, float32 normalize —
+    is reproducible in ANSI SQL for text payloads, upgrading the multimodal
+    family from the r4 rows-only check to a hash-exact DuckDB oracle
+    (``MULTIMODAL_WORDS_SQL``).
+
+    Output: (media_id, kind, dim_idx, feat_word, feature) — feat_word the
+    exact uint32 as int64, feature the float32 the ``features`` vector
+    carries (bit-identical to the oracle's ``(w / 4294967295.0)::FLOAT``)."""
+    media, n_rows = _docs_as_media(sf_dir)
+    words = extract_media_features(
+        media, feature_dim=feature_dim, n_rows=n_rows,
+        decoder="fake", output="words",
+    )
+
+    def unnest(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lst = t["feat_words"].combine_chunks()
+        lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        # per-row 0..n_dims-1 counter, fully vectorized
+        starts = np.zeros(len(t), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        dim_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lengths)
+        feats = (flat.astype(np.float64) / np.iinfo(np.uint32).max).astype(
+            np.float32
+        )
+        return pa.table(
+            {
+                "media_id": t["media_id"].take(rep),
+                "kind": t["kind"].take(rep),
+                "dim_idx": pa.array(dim_idx, type=pa.int64()),
+                "feat_word": pa.array(flat.astype(np.int64), type=pa.int64()),
+                "feature": pa.array(feats, type=pa.float32()),
+            }
+        )
+
+    return words.map_batches(unnest, batch_format="pyarrow")
+
+
+# The SQL twin of ImageFeatureExtractor._fake_words for text payloads:
+# md5 of the ASCII-prefixed text, then each uint32 word reassembled from
+# its four hex pairs in little-endian order.
+MULTIMODAL_WORDS_SQL = """
+WITH media AS (
+  SELECT printf('m%08d', doc_id) AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         COALESCE(text, '') AS t
+  FROM documents
+), d AS (SELECT unnest(range(16)) AS dim_idx),
+w AS (
+  SELECT m.media_id, m.kind, CAST(d.dim_idx AS BIGINT) AS dim_idx,
+         md5(CAST(d.dim_idx // 4 AS VARCHAR) || ':' || m.t) AS h,
+         CAST(d.dim_idx % 4 AS INT) AS j
+  FROM media m CROSS JOIN d
+), v AS (
+  SELECT media_id, kind, dim_idx,
+         ('0x' || substr(h, 8*j+7, 2) || substr(h, 8*j+5, 2)
+               || substr(h, 8*j+3, 2) || substr(h, 8*j+1, 2))::BIGINT
+           AS feat_word
+  FROM w
+)
+SELECT media_id, kind, dim_idx, feat_word,
+       (feat_word / 4294967295.0)::FLOAT AS feature
+FROM v
+"""
 
 
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:

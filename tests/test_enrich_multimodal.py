@@ -167,6 +167,64 @@ def test_multimodal_features_query(sf_dir):
     pd.testing.assert_frame_equal(pda, pdb)
 
 
+def test_multimodal_feature_words_oracle(sf_dir):
+    """r5: the fake decode's uint32 words are value-exact vs the DuckDB
+    oracle (md5 of the ASCII-prefixed text + little-endian hex reassembly),
+    and the float32 ``features`` vector is bit-identical to the words'
+    normalization — closing the r4 'multimodal is rows-only' gap."""
+    from .util import assert_matches_oracle
+
+    from clangd_to_neo4j_ray.stages.multimodal import (
+        MULTIMODAL_WORDS_SQL,
+        multimodal_feature_words,
+        multimodal_features,
+    )
+
+    words = multimodal_feature_words(sf_dir)
+    assert_matches_oracle(words, MULTIMODAL_WORDS_SQL, sf_dir)
+
+    # the summary query's feat_mean is the mean of exactly these floats
+    wdf = multimodal_feature_words(sf_dir).to_pandas()
+    means = (
+        wdf.groupby("media_id")["feature"].mean().round(6).to_dict()
+    )
+    sdf = multimodal_features(sf_dir).to_pandas()
+    for _, r in sdf.head(50).iterrows():
+        assert abs(means[r["media_id"]] - r["feat_mean"]) < 1e-5
+
+
+def test_fake_words_kernel_unit():
+    """The words kernel: ASCII '{k}:' digest prefix, little-endian uint32
+    reassembly, float32 normalize — pinned against hashlib directly."""
+    import hashlib
+
+    from clangd_to_neo4j_ray.stages.multimodal import ImageFeatureExtractor
+
+    ex = ImageFeatureExtractor(feature_dim=16, decoder="fake", output="words")
+    payload = b"\xff\x00binary \xf0payload"  # not valid utf-8: bytes path
+    w = ex._fake_words(payload)
+    assert w.dtype == np.dtype("<u4") and len(w) == 16
+    buf = b"".join(
+        hashlib.md5(f"{k}:".encode() + payload).digest() for k in range(4)
+    )
+    assert list(w) == list(np.frombuffer(buf, dtype="<u4"))
+    f = ex._fake_features(payload)
+    assert f.dtype == np.float32
+    assert np.array_equal(
+        f, (w.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+    )
+    # words output requires the fake decoder (pillow has no words); with
+    # pillow absent the missing-library error fires first — both are loud
+    import pytest
+
+    from clangd_to_neo4j_ray.stages.multimodal import DecodeUnavailable
+
+    with pytest.raises(ValueError):
+        ImageFeatureExtractor(output="bogus")
+    with pytest.raises((ValueError, DecodeUnavailable)):
+        ImageFeatureExtractor(decoder="pillow", output="words")
+
+
 def test_llm_client_factory_surface():
     """T4 extension seam (VERDICT r2 #6): fake default through the factory,
     env-selected apis, loud no-key failure for the real path, and the
