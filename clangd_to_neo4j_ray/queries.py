@@ -107,10 +107,11 @@ for _name, _fn in [
 ]:
     register(_name, _fn, _dedup.ORACLE_SQL[_name])
 
-# --- text analysis (r5: vectorized fingerprint shingling) ---
+# --- text analysis (r5: vectorized fingerprint shingling + PII scrub) ---
 from .stages import text as _text
 
 for _name, _fn in [
+    ("pii_scrub", _text.pii_scrub),
     ("text_fingerprint", _text.text_fingerprint),
     ("text_quality", _text.text_quality),
     ("text_langid", _text.text_langid),

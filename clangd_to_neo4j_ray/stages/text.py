@@ -311,6 +311,79 @@ def text_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+# PII scrub patterns — RE2 syntax only (no lookaround), evaluated by BOTH
+# pyarrow.compute (RE2) and DuckDB regexp_* (RE2), so the oracle reproduces
+# the scrub byte-for-byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+PII_IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction: emails / phone numbers / IPv4 hosts -> typed
+    placeholders, with per-document match accounting.
+
+    The training-data curation analog of the reference's tab sanitizer
+    (``clangd_index_yaml_parser.py`` sanitize pass, SURVEY M2): a
+    per-record text rewrite that must be deterministic and lossless in
+    count.  The synthetic corpus carries no PII, so the query first
+    injects deterministic doc_id-derived markers (email / phone / IP by
+    ``doc_id % 3``) — the oracle performs the identical injection, which
+    makes the scrub check non-vacuous: every count and the full cleaned
+    text (via md5) are value-compared.
+
+    Everything is vectorized: the injection is numpy string kernels, the
+    scrub is three RE2 ``replace_substring_regex`` passes, counts are
+    ``count_substring_regex``, and the cleaned-text digest runs in the
+    embedded DuckDB md5 kernel (one call per batch).
+
+    Output: (doc_id, n_emails, n_phones, n_ips, clean_len, clean_md5)."""
+    from ..functions.duck import md5_hex_arrow
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ids_s = ids.astype(np.str_)
+        em = np.char.add(
+            np.char.add(" contact user", ids_s), "@example.com"
+        )
+        ph = np.char.add(
+            " call +1-555-", np.char.zfill((ids % 10000).astype(np.str_), 4)
+        )
+        ip = np.char.add(
+            np.char.add(
+                np.char.add(" host 10.0.", (ids % 256).astype(np.str_)), "."
+            ),
+            ((ids * 7) % 256).astype(np.str_),
+        )
+        mod = ids % 3
+        suffix = np.where(mod == 0, em, np.where(mod == 1, ph, ip))
+        aug = pc.binary_join_element_wise(
+            batch["text"].combine_chunks(),
+            pa.array(suffix, type=pa.string()),
+            "",
+        )
+        n_em = pc.count_substring_regex(aug, PII_EMAIL_RE)
+        n_ph = pc.count_substring_regex(aug, PII_PHONE_RE)
+        n_ip = pc.count_substring_regex(aug, PII_IP_RE)
+        clean = pc.replace_substring_regex(aug, PII_EMAIL_RE, "<EMAIL>")
+        clean = pc.replace_substring_regex(clean, PII_PHONE_RE, "<PHONE>")
+        clean = pc.replace_substring_regex(clean, PII_IP_RE, "<IP>")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pc.cast(n_em, pa.int64()),
+                "n_phones": pc.cast(n_ph, pa.int64()),
+                "n_ips": pc.cast(n_ip, pa.int64()),
+                "clean_len": pc.cast(pc.utf8_length(clean), pa.int64()),
+                "clean_md5": md5_hex_arrow(clean),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 _SQL_TOK = (
     "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
     "generate_subscripts(string_split(text, ' '), 1) AS i FROM documents)"
@@ -393,3 +466,28 @@ sh AS (
 SELECT doc_id, min(md5(s)) AS fp FROM sh GROUP BY doc_id
 """,
 }
+
+# plain string (not f-string): regex braces must reach DuckDB verbatim
+ORACLE_SQL["pii_scrub"] = r"""
+WITH aug AS (
+  SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN ' contact user' || doc_id || '@example.com'
+    WHEN 1 THEN printf(' call +1-555-%04d', doc_id % 10000)
+    ELSE ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+  END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS BIGINT) AS clean_len,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS clean_md5
+FROM aug
+"""

@@ -14,6 +14,7 @@ NAMES = [
     "kg_components",
     "kg_pagerank",
     "kg_head_entities",
+    "pii_scrub",
     "text_quality",
     "text_langid",
     "text_token_totals",
@@ -49,6 +50,18 @@ NAMES = [
 @pytest.mark.parametrize("name", NAMES)
 def test_operator_matches_oracle(name, sf_dir):
     assert_matches_oracle(QUERIES[name](sf_dir), ORACLE[name], sf_dir)
+
+
+def test_pii_scrub_redacts_every_marker(sf_dir):
+    """Each doc gets exactly one injected doc_id-derived PII marker; the
+    scrub must find it (count by kind matches doc_id % 3) — the oracle
+    equality above then pins the cleaned text byte-for-byte via md5."""
+    df = QUERIES["pii_scrub"](sf_dir).to_pandas()
+    mod = df["doc_id"] % 3
+    assert (df.loc[mod == 0, "n_emails"] >= 1).all()
+    assert (df.loc[mod == 1, "n_phones"] >= 1).all()
+    assert (df.loc[mod == 2, "n_ips"] >= 1).all()
+    assert ((df["n_emails"] + df["n_phones"] + df["n_ips"]) >= 1).all()
 
 
 def test_ann_lsh_recall(sf_dir):
