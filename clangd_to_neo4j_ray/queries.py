@@ -93,10 +93,12 @@ for _name, _fn in [
 ]:
     register(_name, _fn, docs_kg.ORACLE_SQL[_name])
 
-# --- dedup family (D1-D5 generalizations; r5: DuckDB md5 kernels) ---
+# --- dedup family (D1-D5 generalizations; r5: DuckDB md5 kernels +
+# cluster keep-list composition) ---
 from .stages import dedup as _dedup
 
 for _name, _fn in [
+    ("dedup_clusters", _dedup.dedup_clusters),
     ("dedup_exact", _dedup.dedup_exact),
     ("minhash_signatures", _dedup.minhash_signatures),
     ("dedup_minhash_pairs", _dedup.dedup_minhash_pairs),

@@ -235,6 +235,80 @@ def dedup_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return minhash_pairs_from_sigs(minhash_signatures(sf_dir))
 
 
+def dedup_clusters(sf_dir: str, *, broadcast_threshold: int | None = None) -> ray.data.Dataset:
+    """End-to-end near-dup dedup: LSH candidate pairs -> connected
+    components -> per-cluster representative keep-list.
+
+    This is the composition users actually run dedup for: transitively
+    closing the pair graph (a~b, b~c => one cluster) and keeping exactly
+    one representative (min doc_id) per cluster.  Composes
+    ``dedup_minhash_pairs`` with ``graph_algo.connected_components_ds``
+    (size-gated driver union-find / distributed delta-round label
+    propagation) and one bucketed left join back onto the corpus — no
+    driver-side collect of the doc list.
+
+    doc_ids travel through CC as 12-digit zero-padded strings so the
+    component's lexicographic-min label IS the numeric min doc_id (the
+    oracle's integer ``min``).
+
+    Output: (doc_id, cluster_rep, is_kept) — is_kept int64 0/1;
+    singletons are their own representative."""
+    from .graph_algo import connected_components_ds
+    from .joins import bucketed_join
+
+    pairs = dedup_minhash_pairs(sf_dir)
+
+    def pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.utf8_lpad(
+                    pc.cast(t["a_doc"], pa.string()), 12, padding="0"
+                ),
+                "b": pc.utf8_lpad(
+                    pc.cast(t["b_doc"], pa.string()), 12, padding="0"
+                ),
+            }
+        )
+
+    cc_kwargs = (
+        {} if broadcast_threshold is None
+        else {"broadcast_threshold": broadcast_threshold}
+    )
+    comp = connected_components_ds(
+        pairs.map_batches(pad, batch_format="pyarrow"),
+        src_col="a",
+        dst_col="b",
+        **cc_kwargs,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["node"], pa.int64()),
+                "rep": pc.cast(t["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rep = pc.coalesce(t["rep"], t["doc_id"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_rep": pc.cast(rep, pa.int64()),
+                "is_kept": pc.cast(
+                    pc.equal(t["doc_id"], rep), pa.int64()
+                ),
+            }
+        )
+
+    return bucketed_join(docs, comp, on="doc_id", how="left").map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
@@ -692,5 +766,27 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {COSINE_DUP_THRESHOLD}
+""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SQL_TOK}, {_SQL_SHINGLES3}, {_SQL_MINSIG},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+und AS (SELECT a_doc AS a, b_doc AS b FROM pairs
+        UNION SELECT b_doc, a_doc FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS rep FROM reach GROUP BY n)
+SELECT d.doc_id,
+       CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS cluster_rep,
+       CAST(CASE WHEN d.doc_id = COALESCE(c.rep, d.doc_id)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """,
 }

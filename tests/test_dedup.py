@@ -219,3 +219,39 @@ def test_ngram_jaccard_df_cap_and_dead_letters(tmp_path):
             if ni >= 1 and JACCARD_DEN * ni >= JACCARD_NUM * nu:
                 exp.add((di, dj, ni, nu))
     assert got_set == exp
+
+
+def test_dedup_clusters_semantics(sf_dir):
+    """Cluster keep-list invariants on top of the oracle equality (which is
+    checked in test_operators): pairs land in one cluster, reps are cluster
+    minima, exactly one kept doc per cluster."""
+    from clangd_to_neo4j_ray.stages.dedup import dedup_clusters, dedup_minhash_pairs
+
+    cl = {r["doc_id"]: r for r in dedup_clusters(sf_dir).take_all()}
+    pairs = dedup_minhash_pairs(sf_dir).take_all()
+    assert len(pairs) >= 1  # non-vacuous at sf0.001+
+    for p in pairs:
+        assert cl[p["a_doc"]]["cluster_rep"] == cl[p["b_doc"]]["cluster_rep"]
+    by_rep: dict = {}
+    for r in cl.values():
+        by_rep.setdefault(r["cluster_rep"], []).append(r)
+    for rep, members in by_rep.items():
+        assert rep == min(m["doc_id"] for m in members)
+        kept = [m for m in members if m["is_kept"] == 1]
+        assert len(kept) == 1 and kept[0]["doc_id"] == rep
+
+
+def test_dedup_clusters_distributed_path(sf_dir):
+    """Forcing the distributed CC path (threshold 0) must give the same
+    keep-list as the driver union-find gate."""
+    from clangd_to_neo4j_ray.stages.dedup import dedup_clusters
+
+    a = sorted(
+        (r["doc_id"], r["cluster_rep"], r["is_kept"])
+        for r in dedup_clusters(sf_dir).take_all()
+    )
+    b = sorted(
+        (r["doc_id"], r["cluster_rep"], r["is_kept"])
+        for r in dedup_clusters(sf_dir, broadcast_threshold=0).take_all()
+    )
+    assert a == b

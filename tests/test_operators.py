@@ -15,6 +15,7 @@ NAMES = [
     "kg_pagerank",
     "kg_head_entities",
     "pii_scrub",
+    "dedup_clusters",
     "text_quality",
     "text_langid",
     "text_token_totals",
