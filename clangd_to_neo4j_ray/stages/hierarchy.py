@@ -26,6 +26,7 @@ from urllib.parse import urlparse
 import pyarrow as pa
 import ray.data
 
+from ..functions.textops import prefixed
 from .shuffle import distinct
 
 PROJECT_NODE_ID = "project:root"
@@ -134,7 +135,7 @@ def hierarchy_edges(
                 "src": pa.array(
                     [page_parent_id(u) for u in urls], type=pa.string()
                 ),
-                "type": pa.array(["CONTAINS"] * len(urls), type=pa.string()),
+                "type": pa.repeat(pa.scalar("CONTAINS"), len(urls)),
                 "dst": pa.array([f"page:{u}" for u in urls], type=pa.string()),
             }
         )
@@ -142,12 +143,9 @@ def hierarchy_edges(
     domain_edges = domains.map_batches(
         lambda b: pa.table(
             {
-                "src": pa.array([PROJECT_NODE_ID] * len(b), type=pa.string()),
-                "type": pa.array(["CONTAINS"] * len(b), type=pa.string()),
-                "dst": pa.array(
-                    [f"domain:{d}" for d in b["domain"].to_pylist()],
-                    type=pa.string(),
-                ),
+                "src": pa.repeat(pa.scalar(PROJECT_NODE_ID), len(b)),
+                "type": pa.repeat(pa.scalar("CONTAINS"), len(b)),
+                "dst": prefixed(b["domain"], "domain:"),
             }
         ),
         batch_format="pyarrow",
@@ -156,11 +154,8 @@ def hierarchy_edges(
         lambda b: pa.table(
             {
                 "src": b["parent"],
-                "type": pa.array(["CONTAINS"] * len(b), type=pa.string()),
-                "dst": pa.array(
-                    [f"folder:{f}" for f in b["folder"].to_pylist()],
-                    type=pa.string(),
-                ),
+                "type": pa.repeat(pa.scalar("CONTAINS"), len(b)),
+                "dst": prefixed(b["folder"], "folder:"),
             }
         ),
         batch_format="pyarrow",
@@ -187,10 +182,8 @@ def hierarchy_nodes(
     page_nodes = pages.select_columns(["url"]).map_batches(
         lambda b: pa.table(
             {
-                "node_id": pa.array(
-                    [f"page:{u}" for u in b["url"].to_pylist()], type=pa.string()
-                ),
-                "label": pa.array(["PAGE"] * len(b), type=pa.string()),
+                "node_id": prefixed(b["url"], "page:"),
+                "label": pa.repeat(pa.scalar("PAGE"), len(b)),
                 "name": b["url"],
             }
         ),
@@ -199,11 +192,8 @@ def hierarchy_nodes(
     domain_nodes = domains.map_batches(
         lambda b: pa.table(
             {
-                "node_id": pa.array(
-                    [f"domain:{d}" for d in b["domain"].to_pylist()],
-                    type=pa.string(),
-                ),
-                "label": pa.array(["DOMAIN"] * len(b), type=pa.string()),
+                "node_id": prefixed(b["domain"], "domain:"),
+                "label": pa.repeat(pa.scalar("DOMAIN"), len(b)),
                 "name": b["domain"],
             }
         ),
@@ -212,11 +202,8 @@ def hierarchy_nodes(
     folder_nodes = folders.map_batches(
         lambda b: pa.table(
             {
-                "node_id": pa.array(
-                    [f"folder:{f}" for f in b["folder"].to_pylist()],
-                    type=pa.string(),
-                ),
-                "label": pa.array(["FOLDER"] * len(b), type=pa.string()),
+                "node_id": prefixed(b["folder"], "folder:"),
+                "label": pa.repeat(pa.scalar("FOLDER"), len(b)),
                 "name": b["folder"],
             }
         ),
