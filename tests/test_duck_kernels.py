@@ -128,3 +128,13 @@ def test_grouped_kernel_min_md5():
     ]
     assert out["fp"].to_pylist() == want
     assert out["p"].to_pylist() == [0, 1, 2]
+
+
+def test_entity_ids_arrow_parity():
+    """Vectorized entity-id kernel is bit-identical to the scalar hashlib
+    reference on unicode/empty/long inputs."""
+    from clangd_to_neo4j_ray.functions.hashing import entity_ids, entity_ids_arrow
+
+    vals = ["spark", "", "ünïcode ✓", "a" * 500, "the", "spark"]
+    got = entity_ids_arrow(pa.array(vals, type=pa.string())).to_pylist()
+    assert got == list(entity_ids(vals))
