@@ -297,28 +297,55 @@ def kg_nodes(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    def source_partials(batch: pa.Table) -> pa.Table:
-        uniq = pc.unique(batch["source"])
-        return pa.table({"source": uniq})
+    def side_partials(batch: pa.Table) -> pa.Table:
+        # SOURCE + FOLDER name partials of the batch, label-tagged and
+        # pre-deduped, so both small side tables ride ONE docs scan and
+        # ONE distinct exchange (was two scans + two exchanges).
+        f1, f2 = _folder_cols(batch)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table(
+            {
+                "label": pa.concat_arrays(
+                    [
+                        pa.repeat(pa.scalar("SOURCE"), len(src)),
+                        pa.repeat(pa.scalar("FOLDER"), len(f1)),
+                        pa.repeat(pa.scalar("FOLDER"), len(f2)),
+                    ]
+                ),
+                "name": pa.concat_arrays([src, f1, f2]),
+            }
+        )
+        return t.group_by(["label", "name"]).aggregate([])
+
+    def side_nodes(b: pa.Table) -> pa.Table:
+        label = b["label"]
+        if isinstance(label, pa.ChunkedArray):
+            label = label.combine_chunks()
+        name = b["name"]
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        prefix = pc.if_else(
+            pc.equal(label, "SOURCE"),
+            pa.scalar("source:"),
+            pa.scalar("folder:"),
+        )
+        return pa.table(
+            {
+                "node_id": pc.binary_join_element_wise(prefix, name, ""),
+                "label": label,
+                "name": name,
+            }
+        )
 
     from ..stages.shuffle import distinct
 
     pages = docs.map_batches(doc_nodes, batch_format="pyarrow")
-    sources = (
-        distinct(
-            docs.map_batches(source_partials, batch_format="pyarrow"), ["source"]
-        )
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "node_id": prefixed(b["source"], "source:"),
-                    "label": pa.repeat(pa.scalar("SOURCE"), len(b)),
-                    "name": b["source"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    side = distinct(
+        docs.map_batches(side_partials, batch_format="pyarrow"),
+        ["label", "name"],
+    ).map_batches(side_nodes, batch_format="pyarrow")
     entities = kg_entity_nodes(sf_dir).map_batches(
         lambda b: pa.table(
             {
@@ -329,30 +356,7 @@ def kg_nodes(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-
-    def folder_partials(batch: pa.Table) -> pa.Table:
-        f1, f2 = _folder_cols(batch)
-        return pa.table(
-            {"name": pc.unique(pa.concat_arrays([f1, f2]))}
-        )
-
-    folders = distinct(
-        docs.map_batches(folder_partials, batch_format="pyarrow"), ["name"]
-    ).map_batches(
-        lambda b: pa.table(
-            {
-                "node_id": pc.binary_join_element_wise(
-                    pa.repeat(pa.scalar("folder"), len(b)),
-                    b["name"].combine_chunks(),
-                    ":",
-                ),
-                "label": pa.repeat(pa.scalar("FOLDER"), len(b)),
-                "name": b["name"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    return pages.union(sources).union(folders).union(entities)
+    return pages.union(side).union(entities)
 
 
 def kg_edges(sf_dir: str) -> ray.data.Dataset:
