@@ -121,6 +121,7 @@ for _name, _fn in [
     ("text_token_bpeish", _text.text_token_bpeish),
     ("text_repetition", _text.text_repetition),
     ("source_mix_weights", _text.source_mix_weights),
+    ("rag_chunks", _text.rag_chunks),
 ]:
     register(_name, _fn, _text.ORACLE_SQL[_name])
 

@@ -491,3 +491,76 @@ SELECT doc_id,
       '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS clean_md5
 FROM aug
 """
+
+
+# --- RAG chunking (overlapping token windows) ---------------------------
+
+CHUNK_W = 128  # tokens per chunk
+CHUNK_S = 96  # stride (overlap = CHUNK_W - CHUNK_S = 32 tokens)
+
+
+def rag_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Overlapping token-window chunks of every document (RAG prep).
+
+    The retrieval-side analog of the reference's source-slice reader
+    (M15, ``code_graph_rag_generator.py`` body-snippet extraction): the
+    unit handed to an embedder/retriever is a bounded token window, not
+    the whole document.  Chunk ``i`` of a doc covers whitespace tokens
+    ``[i*CHUNK_S, i*CHUNK_S + CHUNK_W)``; the last window is short rather
+    than padded, and every doc yields at least one chunk.
+
+    Zero exchanges: a single vectorized polars flat transform per batch
+    (split -> int_ranges -> explode -> list.slice), embarrassingly
+    parallel at any corpus size.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text)."""
+    import polars as pl
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.split(" ").alias("t")
+        )
+        df = df.with_columns(pl.col("t").list.len().cast(pl.Int64).alias("n"))
+        df = df.with_columns(
+            (((pl.col("n") - CHUNK_W).clip(lower_bound=0) + CHUNK_S - 1)
+             // CHUNK_S + 1).alias("k")
+        )
+        df = df.with_columns(
+            pl.int_ranges(0, pl.col("k")).alias("chunk_id")
+        ).explode("chunk_id")
+        df = df.with_columns((pl.col("chunk_id") * CHUNK_S).alias("start"))
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("chunk_id").cast(pl.Int64),
+            pl.min_horizontal(
+                pl.lit(CHUNK_W, dtype=pl.Int64), pl.col("n") - pl.col("start")
+            ).alias("n_tokens"),
+            pl.col("t").list.slice(pl.col("start"), CHUNK_W).list.join(" ")
+            .alias("chunk_text"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+ORACLE_SQL["rag_chunks"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), ex AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(
+           0, CAST((greatest(n - {CHUNK_W}, 0) + {CHUNK_S} - 1)
+                   // {CHUNK_S} AS BIGINT))) AS chunk_id
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_W}, n - chunk_id*{CHUNK_S}) AS BIGINT) AS n_tokens,
+       array_to_string(
+         list_slice(t, chunk_id*{CHUNK_S} + 1, chunk_id*{CHUNK_S} + {CHUNK_W}),
+         ' ') AS chunk_text
+FROM ex
+"""

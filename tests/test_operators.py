@@ -25,6 +25,7 @@ NAMES = [
     "text_token_bpeish",
     "text_repetition",
     "source_mix_weights",
+    "rag_chunks",
     "ann_brute_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -118,3 +119,43 @@ def test_ann_recall_report(sf_dir):
     ).all()
     # IVF probes 4/16 lists; mean recall must beat the uniform floor
     assert rep[rep["method"] == "ivf"]["n_hits"].mean() / TOP_K > 0.2
+
+
+def test_rag_chunks_long_docs_match_bruteforce(tmp_path):
+    """Multi-chunk docs (incl. exact window/stride boundaries) vs a
+    brute-force Python chunker — the sf corpora are mostly single-chunk,
+    so this pins the overlap/stride arithmetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.text import CHUNK_S, CHUNK_W, rag_chunks
+
+    lengths = [0, 1, CHUNK_W - 1, CHUNK_W, CHUNK_W + 1, CHUNK_S, 2 * CHUNK_S,
+               CHUNK_W + CHUNK_S, 3 * CHUNK_W + 7]
+    docs = {
+        "doc_id": list(range(len(lengths))),
+        "text": [" ".join(f"t{i}_{j}" for j in range(n)) for i, n in enumerate(lengths)],
+        "lang": ["en"] * len(lengths),
+        "source": ["s"] * len(lengths),
+        "n_chars": [len(" ".join(f"t{i}_{j}" for j in range(n)))
+                    for i, n in enumerate(lengths)],
+    }
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table(docs), sf / "documents.parquet")
+
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in rag_chunks(str(sf)).take_all()
+    }
+
+    expected = {}
+    for i, text in enumerate(docs["text"]):
+        toks = text.split(" ")  # "" splits to [""], one 1-token chunk
+        n = len(toks)
+        k = (max(n - CHUNK_W, 0) + CHUNK_S - 1) // CHUNK_S + 1
+        for c in range(k):
+            window = toks[c * CHUNK_S: c * CHUNK_S + CHUNK_W]
+            expected[(i, c)] = (len(window), " ".join(window))
+
+    assert got == expected
