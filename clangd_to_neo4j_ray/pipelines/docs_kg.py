@@ -359,6 +359,85 @@ def kg_nodes(sf_dir: str) -> ray.data.Dataset:
     return pages.union(side).union(entities)
 
 
+def _fused_edge_partials(batch: pa.Table) -> pa.Table:
+    """ONE tokenize pass -> both MENTIONS partials and cooccurrence pair
+    partials, schema-harmonized so both kinds ride the SAME exchange.
+
+    Mention rows key on (is_pair=0, w1, w2="", doc_g=doc_id) — per-doc
+    singleton groups (doc atomicity, see kg_mentions), so the exchange's
+    min/sum are identities for them; pair rows key on (is_pair=1, w1, w2,
+    doc_g=0) and merge globally with min-doc evidence, exactly the
+    kg_triples plan.  This drops the second full corpus tokenize kg_edges
+    used to pay (kg_mentions and kg_triples each re-scanned the text) for
+    the price of O(doc x vocab-hit) extra small rows in one exchange."""
+    flat, _pos, parents = explode_tokens(batch)
+    in_vocab = pc.is_in(flat, value_set=_VOCAB_ARRAY).to_numpy(
+        zero_copy_only=False
+    )
+    doc_ids_all = batch["doc_id"].to_numpy(zero_copy_only=False)
+
+    idx = np.nonzero(in_vocab)[0]
+    m = (
+        pa.table(
+            {
+                "doc_g": pa.array(doc_ids_all[parents[idx]], type=pa.int64()),
+                "w1": flat.take(pa.array(idx)),
+            }
+        )
+        .group_by(["doc_g", "w1"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["doc_g", "w1", "n"])
+    )
+
+    adj = adjacent_pairs(parents)
+    if len(adj):
+        both = in_vocab[adj] & in_vocab[adj + 1]
+        adj = adj[both]
+    p = (
+        pa.table(
+            {
+                "w1": flat.take(pa.array(adj)),
+                "w2": flat.take(pa.array(adj + 1)),
+                "doc_id": pa.array(
+                    doc_ids_all[parents[adj]], type=pa.int64()
+                ),
+            }
+        )
+        .group_by(["w1", "w2"])
+        .aggregate([("doc_id", "min"), ([], "count_all")])
+        .rename_columns(["w1", "w2", "evidence", "n"])
+    )
+
+    n_m, n_p = len(m), len(p)
+    return pa.table(
+        {
+            "is_pair": pa.array(
+                np.concatenate(
+                    [np.zeros(n_m, np.int64), np.ones(n_p, np.int64)]
+                )
+            ),
+            "w1": pa.concat_arrays(
+                [m["w1"].combine_chunks(), p["w1"].combine_chunks()]
+            ),
+            "w2": pa.concat_arrays(
+                [pa.repeat(pa.scalar(""), n_m), p["w2"].combine_chunks()]
+            ),
+            "doc_g": pa.concat_arrays(
+                [
+                    m["doc_g"].combine_chunks(),
+                    pa.array(np.zeros(n_p, np.int64)),
+                ]
+            ),
+            "evidence": pa.concat_arrays(
+                [m["doc_g"].combine_chunks(), p["evidence"].combine_chunks()]
+            ),
+            "n": pa.concat_arrays(
+                [m["n"].combine_chunks(), p["n"].combine_chunks()]
+            ),
+        }
+    )
+
+
 def kg_edges(sf_dir: str) -> ray.data.Dataset:
     """Graph edge table, unique on (src, type, dst), with occurrence weight.
 
@@ -368,6 +447,10 @@ def kg_edges(sf_dir: str) -> ray.data.Dataset:
     MENTIONS (doc->entity) = DEFINES analog (:210-220);
     cooccurs_with (entity->entity) = CALLS analog (clangd_call_graph_builder.py:39-44).
     Output: (src, type, dst, n).
+
+    MENTIONS and cooccurs_with derive from one fused tokenize scan and one
+    shared exchange (see _fused_edge_partials) instead of re-running the
+    kg_mentions and kg_triples scans separately.
     """
     from ..stages.shuffle import distinct
 
@@ -428,29 +511,35 @@ def kg_edges(sf_dir: str) -> ray.data.Dataset:
         leaf_contains, batch_format="pyarrow"
     ).union(ancestor_ds)
 
-    mentions_ds = kg_mentions(sf_dir).map_batches(
-        lambda b: pa.table(
-            {
-                "src": prefixed(b["doc_id"], "doc:"),
-                "type": pa.repeat(pa.scalar("MENTIONS"), len(b)),
-                "dst": b["entity_id"],
-                "n": b["n_mentions"],
-            }
-        ),
-        batch_format="pyarrow",
+    fused = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _fused_edge_partials, batch_format="pyarrow"
     )
-    cooccur_ds = kg_triples(sf_dir).map_batches(
-        lambda b: pa.table(
-            {
-                "src": b["subj"],
-                "type": b["pred"],
-                "dst": b["obj"],
-                "n": b["n_occurrences"],
-            }
-        ),
-        batch_format="pyarrow",
+    merged = grouped_agg(
+        fused,
+        ["is_pair", "w1", "w2", "doc_g"],
+        {"evidence": ("evidence", "min"), "n": ("n", "sum")},
     )
-    return contains_ds.union(mentions_ds).union(cooccur_ds)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ip = pc.equal(batch["is_pair"], 1)
+        w1_ids = entity_ids_arrow(batch["w1"].combine_chunks())
+        w2_ids = entity_ids_arrow(batch["w2"].combine_chunks())
+        return pa.table(
+            {
+                "src": pc.if_else(
+                    ip, w1_ids, prefixed(batch["doc_g"], "doc:")
+                ),
+                "type": pc.if_else(
+                    ip, pa.scalar(PRED_COOCCURS), pa.scalar("MENTIONS")
+                ),
+                "dst": pc.if_else(ip, w2_ids, w1_ids),
+                "n": batch["n"],
+            }
+        )
+
+    return contains_ds.union(
+        merged.map_batches(to_edges, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
