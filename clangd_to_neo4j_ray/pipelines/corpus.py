@@ -202,6 +202,76 @@ def corpus_clean(sf_dir: str) -> ray.data.Dataset:
     return quality.map_batches(keep, batch_format="pyarrow")
 
 
+def dedup_cluster_quality(
+    sf_dir: str, *, broadcast_threshold: int | None = None
+) -> ray.data.Dataset:
+    """Quality-aware near-dup keep-list: ``dedup_clusters``'s composition
+    (LSH pairs -> connected components), but the kept representative is
+    the highest-quality cluster member (max n_tokens, ties to min doc_id)
+    instead of blindly min doc_id — what curation pipelines actually want
+    (keep the longest page of a mirror set, not the first-crawled one).
+
+    ONE fused corpus scan (the corpus_clean profile) feeds both the LSH
+    signatures and the quality stats, so the text is read and tokenized
+    exactly once; ``cluster_rep`` stays the min-doc_id component label
+    (via the shared ``pairs_to_components``), so cluster identity matches
+    ``dedup_clusters`` row-for-row.  Plan: profile scan -> LSH bucket
+    exchange -> CC -> one bucketed left join (profile x components) ->
+    one bucketed per-cluster group-agg; clusters hash whole into one
+    bucket, so the winner flag is a single vectorized sort + first-of-key
+    mask per bucket.
+
+    Output: (doc_id, cluster_rep, n_tokens, is_kept) — one row per doc,
+    exactly one is_kept=1 per cluster; singletons keep themselves."""
+    import pandas as pd
+
+    from ..stages.dedup import minhash_pairs_from_sigs, pairs_to_components
+    from ..stages.shuffle import bucketed_group_agg
+
+    prof = _doc_profiles(sf_dir)
+    comp = pairs_to_components(
+        minhash_pairs_from_sigs(
+            prof.map_batches(_explode_sigs, batch_format="pyarrow")
+        ),
+        broadcast_threshold=broadcast_threshold,
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_rep": pc.cast(
+                    pc.coalesce(t["rep"], t["doc_id"]), pa.int64()
+                ),
+                "n_tokens": t["n_tokens"],
+            }
+        )
+
+    asg = bucketed_join(
+        prof.select_columns(["doc_id", "n_tokens"]),
+        comp,
+        on="doc_id",
+        how="left",
+    ).map_batches(assign, batch_format="pyarrow")
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cluster_rep", "n_tokens", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "cluster_rep": g["cluster_rep"].astype("int64"),
+                "n_tokens": g["n_tokens"].astype("int64"),
+                "is_kept": (~g["cluster_rep"].duplicated()).astype("int64"),
+            }
+        )
+
+    return bucketed_group_agg(asg, ["cluster_rep"], keep)
+
+
 ORACLE_SQL: dict[str, str] = {
     "corpus_clean": f"""
 WITH {_SQL_TOK}, {_SQL_SHINGLES3}, {_SQL_MINSIG},
@@ -230,5 +300,40 @@ SELECT q.doc_id, q.n_tokens, q.n_types
 FROM q JOIN surv USING (doc_id)
 WHERE q.n_tokens >= {MIN_TOKENS}
   AND 100 * q.n_types >= {TYPE_RATIO_PCT} * q.n_tokens
+""",
+    # same pairs + components CTEs as stages/dedup.ORACLE_SQL["dedup_clusters"]
+    # (cluster identity must match row-for-row); the winner is picked by
+    # quality instead of min doc_id.
+    "dedup_cluster_quality": f"""
+WITH RECURSIVE {_SQL_TOK}, {_SQL_SHINGLES3}, {_SQL_MINSIG},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+und AS (SELECT a_doc AS a, b_doc AS b FROM pairs
+        UNION SELECT b_doc, a_doc FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS rep FROM reach GROUP BY n),
+tokc AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+asg AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS cluster_rep,
+         CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  LEFT JOIN tokc t ON d.doc_id = t.doc_id
+)
+SELECT doc_id, cluster_rep, n_tokens,
+       CAST(CASE WHEN row_number() OVER (
+                 PARTITION BY cluster_rep
+                 ORDER BY n_tokens DESC, doc_id) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM asg
 """,
 }

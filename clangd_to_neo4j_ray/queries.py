@@ -140,6 +140,11 @@ for _name, _fn in [
 from .pipelines import corpus as _corpus
 
 register("corpus_clean", _corpus.corpus_clean, _corpus.ORACLE_SQL["corpus_clean"])
+register(
+    "dedup_cluster_quality",
+    _corpus.dedup_cluster_quality,
+    _corpus.ORACLE_SQL["dedup_cluster_quality"],
+)
 
 # --- enrichment (model-driven; md5-based fake client is SQL-checkable) ---
 from .pipelines import enrich as _enrich

@@ -235,28 +235,23 @@ def dedup_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return minhash_pairs_from_sigs(minhash_signatures(sf_dir))
 
 
-def dedup_clusters(sf_dir: str, *, broadcast_threshold: int | None = None) -> ray.data.Dataset:
-    """End-to-end near-dup dedup: LSH candidate pairs -> connected
-    components -> per-cluster representative keep-list.
-
-    This is the composition users actually run dedup for: transitively
-    closing the pair graph (a~b, b~c => one cluster) and keeping exactly
-    one representative (min doc_id) per cluster.  Composes
-    ``dedup_minhash_pairs`` with ``graph_algo.connected_components_ds``
+def pairs_to_components(
+    pairs: ray.data.Dataset, *, broadcast_threshold: int | None = None
+) -> ray.data.Dataset:
+    """Transitively close an (a_doc, b_doc) int64 pair dataset into
+    per-doc component assignments via ``graph_algo.connected_components_ds``
     (size-gated driver union-find / distributed delta-round label
-    propagation) and one bucketed left join back onto the corpus — no
-    driver-side collect of the doc list.
+    propagation).
 
     doc_ids travel through CC as 12-digit zero-padded strings so the
     component's lexicographic-min label IS the numeric min doc_id (the
     oracle's integer ``min``).
 
-    Output: (doc_id, cluster_rep, is_kept) — is_kept int64 0/1;
-    singletons are their own representative."""
+    Output: (doc_id, rep) int64 — one row per doc that appears in a pair;
+    docs absent from every pair are absent (callers left-join + coalesce).
+    Shared by ``dedup_clusters`` and ``pipelines.corpus.dedup_cluster_quality``
+    so cluster identity can never diverge between the two."""
     from .graph_algo import connected_components_ds
-    from .joins import bucketed_join
-
-    pairs = dedup_minhash_pairs(sf_dir)
 
     def pad(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -274,7 +269,7 @@ def dedup_clusters(sf_dir: str, *, broadcast_threshold: int | None = None) -> ra
         {} if broadcast_threshold is None
         else {"broadcast_threshold": broadcast_threshold}
     )
-    comp = connected_components_ds(
+    return connected_components_ds(
         pairs.map_batches(pad, batch_format="pyarrow"),
         src_col="a",
         dst_col="b",
@@ -287,6 +282,27 @@ def dedup_clusters(sf_dir: str, *, broadcast_threshold: int | None = None) -> ra
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def dedup_clusters(sf_dir: str, *, broadcast_threshold: int | None = None) -> ray.data.Dataset:
+    """End-to-end near-dup dedup: LSH candidate pairs -> connected
+    components -> per-cluster representative keep-list.
+
+    This is the composition users actually run dedup for: transitively
+    closing the pair graph (a~b, b~c => one cluster) and keeping exactly
+    one representative (min doc_id) per cluster.  Composes
+    ``dedup_minhash_pairs`` with ``pairs_to_components`` and one bucketed
+    left join back onto the corpus — no driver-side collect of the doc
+    list.  See ``pipelines.corpus.dedup_cluster_quality`` for the
+    quality-aware representative variant.
+
+    Output: (doc_id, cluster_rep, is_kept) — is_kept int64 0/1;
+    singletons are their own representative."""
+    from .joins import bucketed_join
+
+    comp = pairs_to_components(
+        dedup_minhash_pairs(sf_dir), broadcast_threshold=broadcast_threshold
     )
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]

@@ -255,3 +255,44 @@ def test_dedup_clusters_distributed_path(sf_dir):
         for r in dedup_clusters(sf_dir, broadcast_threshold=0).take_all()
     )
     assert a == b
+
+
+def test_dedup_cluster_quality_semantics(sf_dir):
+    """Quality-aware keep-list invariants on top of the oracle equality
+    (checked in test_operators): cluster membership matches
+    ``dedup_clusters`` row-for-row, exactly one kept doc per cluster, and
+    the winner is the member with max n_tokens (ties to min doc_id)."""
+    from clangd_to_neo4j_ray.pipelines.corpus import dedup_cluster_quality
+    from clangd_to_neo4j_ray.stages.dedup import dedup_clusters
+
+    q = {r["doc_id"]: r for r in dedup_cluster_quality(sf_dir).take_all()}
+    base = {r["doc_id"]: r for r in dedup_clusters(sf_dir).take_all()}
+    assert set(q) == set(base)
+    assert all(q[d]["cluster_rep"] == base[d]["cluster_rep"] for d in q)
+    by_rep: dict = {}
+    for r in q.values():
+        by_rep.setdefault(r["cluster_rep"], []).append(r)
+    multi = 0
+    for rep, members in by_rep.items():
+        kept = [m for m in members if m["is_kept"] == 1]
+        assert len(kept) == 1
+        best = min(members, key=lambda m: (-m["n_tokens"], m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+        multi += len(members) > 1
+    assert multi >= 1  # non-vacuous: at least one real cluster at sf0.001+
+
+
+def test_dedup_cluster_quality_distributed_path(sf_dir):
+    """Forcing the distributed CC path (threshold 0) must give the same
+    quality keep-list as the driver union-find gate."""
+    from clangd_to_neo4j_ray.pipelines.corpus import dedup_cluster_quality
+
+    a = sorted(
+        tuple(r[k] for k in ("doc_id", "cluster_rep", "n_tokens", "is_kept"))
+        for r in dedup_cluster_quality(sf_dir).take_all()
+    )
+    b = sorted(
+        tuple(r[k] for k in ("doc_id", "cluster_rep", "n_tokens", "is_kept"))
+        for r in dedup_cluster_quality(sf_dir, broadcast_threshold=0).take_all()
+    )
+    assert a == b

@@ -16,6 +16,7 @@ NAMES = [
     "kg_head_entities",
     "pii_scrub",
     "dedup_clusters",
+    "dedup_cluster_quality",
     "text_quality",
     "text_langid",
     "text_token_totals",
