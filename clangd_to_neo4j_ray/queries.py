@@ -118,6 +118,7 @@ for _name, _fn in [
     ("text_quality", _text.text_quality),
     ("text_langid", _text.text_langid),
     ("text_token_totals", _text.text_token_totals),
+    ("vocab_top_tokens", _text.vocab_top_tokens),
     ("text_token_bpeish", _text.text_token_bpeish),
     ("text_repetition", _text.text_repetition),
     ("source_mix_weights", _text.source_mix_weights),

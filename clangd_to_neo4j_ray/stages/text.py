@@ -117,6 +117,52 @@ def text_token_totals(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+VOCAB_K = 50  # heavy-hitter cutoff for the per-source vocabulary
+
+
+def vocab_top_tokens(sf_dir: str, *, k: int = VOCAB_K) -> ray.data.Dataset:
+    """Per-source vocabulary heavy hitters — the tokenizer-training prep
+    stage: the k most frequent tokens of every source, with exact counts.
+
+    Output: (source, tok, n) — per source the k highest-count tokens,
+    count ties broken by ascending token (a total order, so the oracle's
+    row_number() ordering matches exactly).
+
+    Plan (bounded at any corpus size): per-batch partial (source, tok)
+    counts via one Arrow group_by — the exchange ships each block's
+    DISTINCT vocabulary, not its token stream — then one bucketed
+    exchange summing counts per (source, tok), then ``grouped_head_n``
+    per-source top-k (its partial head-n bounds the final exchange to k
+    rows per source per block)."""
+    from .packing import grouped_head_n
+    from .shuffle import grouped_agg
+
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, _pos, parents = explode_tokens(batch)
+        t = pa.table(
+            {
+                "source": batch["source"].take(pa.array(parents)),
+                "tok": flat,
+            }
+        )
+        return (
+            t.group_by(["source", "tok"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "tok", "n"])
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["source", "tok"],
+        {"n": ("n", "sum")},
+    )
+    return grouped_head_n(
+        counts, "source", ["source", "n", "tok"], [True, False, True], k
+    )
+
+
 _BPE_WORD = r"[a-z]+"
 _BPE_NUM = r"[0-9]+"
 _BPE_OTHER = r"[^a-z0-9 ]"
@@ -415,6 +461,20 @@ SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(p.toks) AS BIGINT) AS n_tokens
 FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
 GROUP BY d.source, d.lang
+""",
+    "vocab_top_tokens": f"""
+WITH {_SQL_TOK},
+cnt AS (
+  SELECT d.source, t.tok, CAST(count(*) AS BIGINT) AS n
+  FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY d.source, t.tok
+),
+r AS (
+  SELECT source, tok, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
+  FROM cnt
+)
+SELECT source, tok, n FROM r WHERE rk <= {VOCAB_K}
 """,
     "text_token_bpeish": f"""
 SELECT doc_id,

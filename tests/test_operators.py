@@ -20,6 +20,7 @@ NAMES = [
     "text_quality",
     "text_langid",
     "text_token_totals",
+    "vocab_top_tokens",
     "text_fingerprint",
     "split_train_val",
     "split_contamination",
@@ -160,3 +161,26 @@ def test_rag_chunks_long_docs_match_bruteforce(tmp_path):
             expected[(i, c)] = (len(window), " ".join(window))
 
     assert got == expected
+
+
+def test_vocab_top_tokens_k_prefix(sf_dir):
+    """The k parameter takes a deterministic prefix: the k=5 heavy hitters
+    of every source are exactly the first 5 rows (by count desc, token
+    asc) of the default-k result — pins the total order the oracle's
+    row_number() relies on."""
+    from clangd_to_neo4j_ray.stages.text import vocab_top_tokens
+
+    full = vocab_top_tokens(sf_dir).take_all()
+    small = vocab_top_tokens(sf_dir, k=5).take_all()
+    assert small and full
+    key = lambda r: (r["source"], -r["n"], r["tok"])
+    by_src: dict = {}
+    for r in sorted(full, key=key):
+        by_src.setdefault(r["source"], []).append((r["tok"], r["n"]))
+    got: dict = {}
+    for r in sorted(small, key=key):
+        got.setdefault(r["source"], []).append((r["tok"], r["n"]))
+    assert set(got) == set(by_src)
+    for src, rs in got.items():
+        assert rs == by_src[src][:5]
+        assert all(n >= 1 for _, n in rs)
