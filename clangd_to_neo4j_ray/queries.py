@@ -52,6 +52,17 @@ for _name, _fn in [
 ]:
     register(_name, _fn, _rel.ORACLE_SQL[_name])
 
+# --- host-level web link graph off the html binary column (new r5:
+# include-graph analog over the input_hint pages contract — keep first) ---
+from .stages import linkgraph as _lg
+
+register("web_link_graph", _lg.web_link_graph, _lg.ORACLE_SQL["web_link_graph"])
+register(
+    "link_host_degrees",
+    _lg.link_host_degrees,
+    _lg.ORACLE_SQL["link_host_degrees"],
+)
+
 # --- deterministic dataset splitting + decontamination (r5: new full
 # n-gram leakage audit; md5 split tags vectorized) ---
 from .stages import sampling as _sampling

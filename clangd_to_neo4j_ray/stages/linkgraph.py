@@ -1,0 +1,230 @@
+"""Host-level web link graph from the ``html`` binary column.
+
+The BASELINE.json input_hint contract carries pages as
+``(url, warc_ts, html: binary, text, lang)``; this stage is the
+web-native analog of the reference's ``#include``-graph extraction
+(``clangd_include_graph_builder.py`` — scan each file's raw bytes for
+include directives, resolve each target against the including file's
+location, emit de-duplicated edges): scan each page's raw HTML for
+anchor hrefs, resolve site-relative links against the page's own host,
+and aggregate the classic Common-Crawl-style host-to-host link graph.
+
+No real HTML exists in the driver testdata, so pages are synthesized
+deterministically from the ``documents`` table (FIXTURES.md "thin
+adapter" rule): the html construction is one SQL expression
+(``_HTML_EXPR``) shared verbatim by the per-batch synthesis kernel and
+the DuckDB oracle, so both sides parse the *same bytes*.  Link count and
+targets vary per doc (``doc_id % 3`` absolute outlinks to a 16-host
+``.example.org`` ring, plus one site-relative link that must resolve to
+the page's own host).
+
+Scale shape: synthesis and extraction are embarrassingly parallel
+map_batches stages (the extraction regex runs as one embedded DuckDB
+RE2 kernel per batch — the repo's established vectorization idiom,
+``functions/duck.py``); per-batch partial (src_host, dst_host) counts
+ship the batch's DISTINCT host pairs, then ONE bucketed exchange sums
+them.  Host-pair cardinality is O(hosts^2) worst-case but sub-linear in
+pages in practice — the same compression argument as the reference's
+include-pair distinct (``stages/shuffle.py`` D2).  Degree rollup adds
+one more O(edges)-input exchange.
+
+Out-of-contract hrefs (mailto:, javascript:, fragments, non-root
+relative paths) are dropped by design; absolute http(s), scheme-relative
+(``//host/...``) and site-root-relative (``/...``) links resolve.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.duck import sql_over
+
+# -- deterministic pages adapter (shared verbatim with the oracle) ----------
+
+_PAGE_HOST_EXPR = "source || '.example.com'"
+
+_HTML_EXPR = """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+  || '</title></head><body><p>' || text || '</p>'
+  || CASE WHEN doc_id % 3 >= 1 THEN
+       '<a href="https://s' || CAST((doc_id + 7) % 16 AS VARCHAR)
+       || '.example.org/p/' || CAST(doc_id * 31 + 1 AS VARCHAR) || '">r1</a>'
+     ELSE '' END
+  || CASE WHEN doc_id % 3 >= 2 THEN
+       '<a href="https://s' || CAST((doc_id + 14) % 16 AS VARCHAR)
+       || '.example.org/p/' || CAST(doc_id * 31 + 2 AS VARCHAR) || '">r2</a>'
+     ELSE '' END
+  || '<a href="/local/' || CAST(doc_id AS VARCHAR) || '">self</a>'
+  || '</body></html>'"""
+
+# -- extraction (shared CTE: per-batch kernel AND oracle) --------------------
+# pages_s(page_host, html_str) -> resolved(src_host, dst_host per href)
+
+_EXTRACT_CTES = """links AS (
+  SELECT page_host,
+         unnest(regexp_extract_all(html_str, 'href="([^"]*)"', 1)) AS href
+  FROM pages_s),
+resolved AS (
+  SELECT page_host AS src_host,
+         CASE WHEN href LIKE '//%'
+                THEN regexp_extract(href, '^//([^/]+)', 1)
+              WHEN href LIKE '/%' THEN page_host
+              WHEN regexp_matches(href, '^https?://')
+                THEN regexp_extract(href, '^https?://([^/]+)', 1)
+              ELSE NULL END AS dst_host
+  FROM links)"""
+
+_EDGE_SELECT = """SELECT src_host, dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM resolved
+WHERE dst_host IS NOT NULL AND dst_host <> ''
+GROUP BY src_host, dst_host"""
+
+
+def synthesize_pages(sf_dir: str) -> ray.data.Dataset:
+    """documents -> full input_hint pages schema with real ``html: binary``
+    (unlike ``sources.pages.documents_as_pages``, which omits html)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        out = sql_over(
+            f"""SELECT 'https://' || {_PAGE_HOST_EXPR} || '/doc/'
+                  || CAST(doc_id AS VARCHAR) AS url,
+                CAST(1735689600000000 + doc_id * 1000000 AS BIGINT) AS ts_us,
+                {_HTML_EXPR} AS html_str, text, lang
+                FROM t""",
+            t=batch,
+        )
+        return pa.table(
+            {
+                "url": out["url"],
+                "warc_ts": pc.cast(
+                    out["ts_us"], pa.timestamp("us", tz="UTC")
+                ),
+                "html": pc.cast(out["html_str"], pa.binary()),
+                "text": out["text"],
+                "lang": out["lang"],
+            }
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+def extract_link_partials(page_host: pa.Array, html: pa.Array) -> pa.Table:
+    """Parse anchor hrefs out of raw html bytes and resolve them to
+    (src_host, dst_host, n_links) partial counts — one RE2 kernel per
+    batch.  ``html`` is the binary column; decode validates UTF-8."""
+    pages_s = pa.table(
+        {"page_host": page_host, "html_str": pc.cast(html, pa.string())}
+    )
+    return sql_over(
+        f"WITH {_EXTRACT_CTES}\n{_EDGE_SELECT}", pages_s=pages_s
+    )
+
+
+def web_link_graph(sf_dir: str) -> ray.data.Dataset:
+    """Host-to-host link graph: (src_host, dst_host, n_links).
+
+    Plan: synthesize -> extract (fused map_batches chain, zero-copy
+    Arrow) -> one bucketed exchange summing the per-batch partials."""
+    from .shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        synth = sql_over(
+            f"SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str FROM t",
+            t=batch,
+        )
+        return extract_link_partials(
+            synth["page_host"], pc.cast(synth["html_str"], pa.binary())
+        )
+
+    return grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        {"n_links": ("n_links", "sum")},
+    )
+
+
+def link_host_degrees(sf_dir: str) -> ray.data.Dataset:
+    """Per-host degree stats off the edge list:
+    (host, out_links, n_dst_hosts, in_links, n_src_hosts).
+
+    Edges are distinct (src, dst) pairs after the link-graph exchange, so
+    tagging each edge row once per endpoint and summing is exact; adds
+    one O(edges)-input exchange."""
+    from .shuffle import grouped_agg
+
+    edges = web_link_graph(sf_dir)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        zeros = pa.array([0] * n, type=pa.int64())
+        ones = pa.array([1] * n, type=pa.int64())
+        out = pa.table(
+            {
+                "host": batch["src_host"],
+                "out_links": batch["n_links"],
+                "n_dst_hosts": ones,
+                "in_links": zeros,
+                "n_src_hosts": zeros,
+            }
+        )
+        inn = pa.table(
+            {
+                "host": batch["dst_host"],
+                "out_links": zeros,
+                "n_dst_hosts": zeros,
+                "in_links": batch["n_links"],
+                "n_src_hosts": ones,
+            }
+        )
+        return pa.concat_tables([out, inn])
+
+    return grouped_agg(
+        edges.map_batches(tag, batch_format="pyarrow"),
+        ["host"],
+        {
+            "out_links": ("out_links", "sum"),
+            "n_dst_hosts": ("n_dst_hosts", "sum"),
+            "in_links": ("in_links", "sum"),
+            "n_src_hosts": ("n_src_hosts", "sum"),
+        },
+    )
+
+
+_ORACLE_PAGES = f"""pages_s AS (
+  SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str
+  FROM documents)"""
+
+ORACLE_SQL = {
+    "web_link_graph": f"""
+WITH {_ORACLE_PAGES},
+{_EXTRACT_CTES}
+{_EDGE_SELECT}
+""",
+    "link_host_degrees": f"""
+WITH {_ORACLE_PAGES},
+{_EXTRACT_CTES},
+e AS ({_EDGE_SELECT}),
+o AS (SELECT src_host AS host, CAST(sum(n_links) AS BIGINT) AS out_links,
+             CAST(count(*) AS BIGINT) AS n_dst_hosts
+      FROM e GROUP BY src_host),
+i AS (SELECT dst_host AS host, CAST(sum(n_links) AS BIGINT) AS in_links,
+             CAST(count(*) AS BIGINT) AS n_src_hosts
+      FROM e GROUP BY dst_host)
+SELECT coalesce(o.host, i.host) AS host,
+       CAST(coalesce(o.out_links, 0) AS BIGINT) AS out_links,
+       CAST(coalesce(o.n_dst_hosts, 0) AS BIGINT) AS n_dst_hosts,
+       CAST(coalesce(i.in_links, 0) AS BIGINT) AS in_links,
+       CAST(coalesce(i.n_src_hosts, 0) AS BIGINT) AS n_src_hosts
+FROM o FULL OUTER JOIN i ON o.host = i.host
+""",
+}

@@ -1,0 +1,98 @@
+"""Host-level web link graph (stages/linkgraph.py).
+
+The web analog of the reference's include-graph extraction
+(``clangd_include_graph_builder.py``): href scan over raw html bytes,
+site-relative resolution against the page's own host, host-pair edge
+aggregation.  Kernel semantics are pinned on handcrafted html here; the
+full distributed plan is oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from clangd_to_neo4j_ray.stages import linkgraph as lg
+
+from .util import assert_matches_oracle, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+def _kernel(pages: list[tuple[str, bytes]]) -> dict[tuple[str, str], int]:
+    hosts = pa.array([h for h, _ in pages], type=pa.string())
+    html = pa.array([b for _, b in pages], type=pa.binary())
+    out = lg.extract_link_partials(hosts, html)
+    return {
+        (r["src_host"], r["dst_host"]): r["n_links"] for r in out.to_pylist()
+    }
+
+
+def test_kernel_absolute_and_relative_resolution():
+    got = _kernel(
+        [
+            (
+                "a.example.com",
+                b'<p>x</p><a href="https://b.example.org/p/1">b</a>'
+                b'<a href="http://c.example.net/">c</a>'
+                b'<a href="/local/7">self</a>'
+                b'<a href="https://b.example.org/p/2">b again</a>',
+            ),
+        ]
+    )
+    assert got == {
+        ("a.example.com", "b.example.org"): 2,
+        ("a.example.com", "c.example.net"): 1,
+        ("a.example.com", "a.example.com"): 1,
+    }
+
+
+def test_kernel_ignores_out_of_contract_hrefs():
+    # mailto:, javascript:, fragments, and non-root relative links are
+    # dropped by design; scheme-relative resolves to its own host
+    got = _kernel(
+        [
+            (
+                "a.example.com",
+                b'<a href="mailto:x@y.z">m</a>'
+                b'<a href="javascript:void(0)">j</a>'
+                b'<a href="#frag">f</a>'
+                b'<a href="//cdn.example.org/x">scheme-rel</a>'
+                b'<a href="sub/page">rel</a>',
+            ),
+            ("b.example.com", b"<p>no links at all</p>"),
+        ]
+    )
+    assert got == {("a.example.com", "cdn.example.org"): 1}
+
+
+def test_synthesized_pages_full_contract_schema():
+    pages = lg.synthesize_pages(SF)
+    schema = pages.schema()
+    assert schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    types = dict(zip(schema.names, schema.types))
+    assert types["html"] == pa.binary()
+    assert str(types["warc_ts"]).startswith("timestamp")
+    rows = pages.take(3)
+    # deterministic: html derives from (doc_id, text) only
+    assert rows[0]["html"].startswith(b"<html><head><title>doc ")
+    assert rows[0]["url"].startswith("https://")
+
+
+def test_web_link_graph_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.web_link_graph(SF), lg.ORACLE_SQL["web_link_graph"], SF
+    )
+
+
+def test_link_host_degrees_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.link_host_degrees(SF), lg.ORACLE_SQL["link_host_degrees"], SF
+    )
+
+
+def test_degree_conservation(ray_session):
+    """Sum of out_links == sum of in_links == total edge weight."""
+    df = to_pandas(lg.link_host_degrees(SF))
+    assert df["out_links"].sum() == df["in_links"].sum()
+    edges = to_pandas(lg.web_link_graph(SF))
+    assert df["out_links"].sum() == edges["n_links"].sum()
