@@ -62,6 +62,11 @@ register(
     _lg.link_host_degrees,
     _lg.ORACLE_SQL["link_host_degrees"],
 )
+register(
+    "link_host_pagerank",
+    _lg.link_host_pagerank,
+    _lg.ORACLE_SQL["link_host_pagerank"],
+)
 
 # --- deterministic dataset splitting + decontamination (r5: new full
 # n-gram leakage audit; md5 split tags vectorized) ---

@@ -568,10 +568,30 @@ def kg_pagerank(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def _pagerank_oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+_COOC_PAIRS_CTES = """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+{VOCAB},
+pairs AS (
+  SELECT DISTINCT a.tok AS w1, b.tok AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
+)"""
+
+
+def pagerank_oracle_sql(
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    *,
+    graph_ctes: str = _COOC_PAIRS_CTES,
+    node_col: str = "name",
+) -> str:
     """Unrolled fixed-iteration PageRank CTE chain (recursive CTEs cannot
     aggregate over their recursive reference, so each round is its own
-    plain aggregate CTE — identical integer arithmetic to pagerank_ds)."""
+    plain aggregate CTE — identical integer arithmetic to pagerank_ds).
+
+    ``graph_ctes`` must define ``pairs(w1, w2)`` — the distinct directed
+    edge set; any graph family (entity co-occurrence, host link graph)
+    reuses the same arithmetic by swapping that block."""
     chain = ""
     prev = "pr0"
     for i in range(1, iters + 1):
@@ -589,14 +609,7 @@ pr{i} AS (
         prev = f"pr{i}"
     return f"""
 WITH
-tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
-{{VOCAB}},
-pairs AS (
-  SELECT DISTINCT a.tok AS w1, b.tok AS w2
-  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
-),
+{graph_ctes},
 nodes AS (SELECT w1 AS n FROM pairs UNION SELECT w2 FROM pairs),
 deg AS (SELECT w1 AS n, CAST(count(*) AS BIGINT) AS outdeg FROM pairs GROUP BY w1),
 params AS (
@@ -605,7 +618,7 @@ params AS (
   FROM nodes
 ),
 pr0 AS (SELECT n, (SELECT init FROM params) AS v FROM nodes){chain}
-SELECT n AS name, CAST(v AS BIGINT) AS pr_scaled FROM {prev}
+SELECT n AS {node_col}, CAST(v AS BIGINT) AS pr_scaled FROM {prev}
 """
 
 
@@ -717,7 +730,7 @@ reach(n, m) AS (
 )
 SELECT n AS name, min(m) AS component FROM reach GROUP BY n
 """,
-    "kg_pagerank": _pagerank_oracle(),
+    "kg_pagerank": pagerank_oracle_sql(),
     "kg_head_entities": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 {VOCAB}

@@ -200,6 +200,26 @@ def link_host_degrees(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def link_host_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Host authority ranking: integer-exact PageRank over the distinct
+    directed host-to-host edge set (link weights intentionally ignored —
+    the classic unweighted host-graph rank).  Output: (host, pr_scaled)
+    with pr x 10^6.
+
+    Exercises the dangling-node variant for real: the ``.example.org``
+    target ring receives links but emits none.  Same fixed-point
+    arithmetic (and unrolled-CTE oracle) as ``kg_pagerank`` with the
+    co-occurrence graph swapped for the link graph."""
+    from .graph_algo import pagerank_ds
+
+    edges = web_link_graph(sf_dir).select_columns(["src_host", "dst_host"])
+    pr = pagerank_ds(edges, src_col="src_host", dst_col="dst_host")
+    return pr.map_batches(
+        lambda t: pa.table({"host": t["node"], "pr_scaled": t["pr_scaled"]}),
+        batch_format="pyarrow",
+    )
+
+
 _ORACLE_PAGES = f"""pages_s AS (
   SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str
   FROM documents)"""
@@ -228,3 +248,18 @@ SELECT coalesce(o.host, i.host) AS host,
 FROM o FULL OUTER JOIN i ON o.host = i.host
 """,
 }
+
+
+def _install_pagerank_oracle() -> None:
+    from .graph_algo import pagerank_oracle_sql
+
+    graph_ctes = f"""{_ORACLE_PAGES},
+{_EXTRACT_CTES},
+e AS ({_EDGE_SELECT}),
+pairs AS (SELECT src_host AS w1, dst_host AS w2 FROM e)"""
+    ORACLE_SQL["link_host_pagerank"] = pagerank_oracle_sql(
+        graph_ctes=graph_ctes, node_col="host"
+    )
+
+
+_install_pagerank_oracle()

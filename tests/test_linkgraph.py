@@ -90,6 +90,22 @@ def test_link_host_degrees_matches_oracle(ray_session):
     )
 
 
+def test_link_host_pagerank_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.link_host_pagerank(SF), lg.ORACLE_SQL["link_host_pagerank"], SF
+    )
+
+
+def test_pagerank_covers_every_host(ray_session):
+    """The rank table covers exactly the hosts of the degree rollup —
+    including pure link targets (dangling nodes, mass dropped by the
+    documented variant) and pure sources."""
+    hosts = set(to_pandas(lg.link_host_degrees(SF))["host"])
+    ranked = to_pandas(lg.link_host_pagerank(SF))
+    assert set(ranked["host"]) == hosts
+    assert (ranked["pr_scaled"] > 0).all()
+
+
 def test_degree_conservation(ray_session):
     """Sum of out_links == sum of in_links == total edge weight."""
     df = to_pandas(lg.link_host_degrees(SF))
