@@ -3,9 +3,10 @@
 The BASELINE.json input_hint contract carries pages as
 ``(url, warc_ts, html: binary, text, lang)``; this stage is the
 web-native analog of the reference's ``#include``-graph extraction
-(``clangd_include_graph_builder.py`` — scan each file's raw bytes for
-include directives, resolve each target against the including file's
-location, emit de-duplicated edges): scan each page's raw HTML for
+(``compilation_parser.py:87-96`` — walk each TU's includes to (source,
+included) pairs — then ``include_relation_provider.py:33-67`` —
+relativize each path against the project root, drop external targets,
+ingest de-duplicated edges): scan each page's raw HTML for
 anchor hrefs, resolve site-relative links against the page's own host,
 and aggregate the classic Common-Crawl-style host-to-host link graph.
 
