@@ -52,10 +52,22 @@ for _name, _fn in [
 ]:
     register(_name, _fn, _rel.ORACLE_SQL[_name])
 
+# --- web-corpus curation: boilerplate-line scrub + URL canonicalization
+# (new r5 — keep first) ---
+from .stages import webcorpus as _wc
+
+for _name in ("boilerplate_lines", "boilerplate_scrub", "url_normalize", "url_dedup"):
+    register(_name, getattr(_wc, _name), _wc.ORACLE_SQL[_name])
+
 # --- host-level web link graph off the html binary column (new r5:
 # include-graph analog over the input_hint pages contract — keep first) ---
 from .stages import linkgraph as _lg
 
+register(
+    "link_anchor_texts",
+    _lg.link_anchor_texts,
+    _lg.ORACLE_SQL["link_anchor_texts"],
+)
 register("web_link_graph", _lg.web_link_graph, _lg.ORACLE_SQL["web_link_graph"])
 register(
     "link_host_degrees",

@@ -62,19 +62,40 @@ _HTML_EXPR = """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
 # -- extraction (shared CTE: per-batch kernel AND oracle) --------------------
 # pages_s(page_host, html_str) -> resolved(src_host, dst_host per href)
 
-_EXTRACT_CTES = """links AS (
+_RESOLVE_CASE = """CASE WHEN href LIKE '//%'
+                THEN regexp_extract(href, '^//([^/]+)', 1)
+              WHEN href LIKE '/%' THEN page_host
+              WHEN regexp_matches(href, '^https?://')
+                THEN regexp_extract(href, '^https?://([^/]+)', 1)
+              ELSE NULL END"""
+
+_EXTRACT_CTES = f"""links AS (
   SELECT page_host,
          unnest(regexp_extract_all(html_str, 'href="([^"]*)"', 1)) AS href
   FROM pages_s),
 resolved AS (
   SELECT page_host AS src_host,
-         CASE WHEN href LIKE '//%'
-                THEN regexp_extract(href, '^//([^/]+)', 1)
-              WHEN href LIKE '/%' THEN page_host
-              WHEN regexp_matches(href, '^https?://')
-                THEN regexp_extract(href, '^https?://([^/]+)', 1)
-              ELSE NULL END AS dst_host
+         {_RESOLVE_CASE} AS dst_host
   FROM links)"""
+
+# anchor-text profile: zip the href and anchor capture groups of each
+# <a ...>text</a> pair (parallel unnests align element-wise)
+_ANCHOR_RE = '<a href="([^"]*)">([^<]*)</a>'
+
+_ANCHOR_CTES = f"""pairs AS (
+  SELECT page_host,
+         unnest(regexp_extract_all(html_str, '{_ANCHOR_RE}', 1)) AS href,
+         unnest(regexp_extract_all(html_str, '{_ANCHOR_RE}', 2)) AS anchor
+  FROM pages_s),
+resolved_a AS (
+  SELECT {_RESOLVE_CASE} AS dst_host, anchor
+  FROM pairs)"""
+
+_ANCHOR_SELECT = """SELECT dst_host, anchor,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM resolved_a
+WHERE dst_host IS NOT NULL AND dst_host <> ''
+GROUP BY dst_host, anchor"""
 
 _EDGE_SELECT = """SELECT src_host, dst_host,
        CAST(count(*) AS BIGINT) AS n_links
@@ -201,6 +222,40 @@ def link_host_degrees(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def link_anchor_texts(sf_dir: str) -> ray.data.Dataset:
+    """Anchor-text profile per link target: (dst_host, anchor, n_links).
+
+    The classic entity-alias signal of web KGs — what the rest of the web
+    calls a page is evidence for entity linking, the analog of the
+    reference's alias accumulation during symbol canonicalization
+    (``clangd_symbol_nodes_builder.py`` D4 span-lookup alias merge).
+
+    Plan: same fused synthesize+extract scan as :func:`web_link_graph`
+    (one RE2 kernel per batch zipping the href/anchor capture groups),
+    per-batch partial counts, ONE bucketed exchange."""
+    from .shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            f"""WITH pages_s AS (
+              SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str
+              FROM t),
+            {_ANCHOR_CTES}
+            {_ANCHOR_SELECT}""",
+            t=batch,
+        )
+
+    return grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["dst_host", "anchor"],
+        {"n_links": ("n_links", "sum")},
+    )
+
+
 def link_host_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Host authority ranking: integer-exact PageRank over the distinct
     directed host-to-host edge set (link weights intentionally ignored —
@@ -226,6 +281,11 @@ _ORACLE_PAGES = f"""pages_s AS (
   FROM documents)"""
 
 ORACLE_SQL = {
+    "link_anchor_texts": f"""
+WITH {_ORACLE_PAGES},
+{_ANCHOR_CTES}
+{_ANCHOR_SELECT}
+""",
     "web_link_graph": f"""
 WITH {_ORACLE_PAGES},
 {_EXTRACT_CTES}

@@ -1,0 +1,154 @@
+"""Web-corpus curation (stages/webcorpus.py) + anchor texts (linkgraph).
+
+Boilerplate-line detection/scrub is the CCNet-style per-source line-df
+pass (reference analog: the M2 sanitizer + D4 header-dup guard); URL
+normalization is the web analog of the reference's URI -> relative-path
+identity key (M3/D6).  Oracle equality pins the full distributed plans;
+the semantic tests pin the parts an oracle can't discriminate (threshold
+behavior, exact scrub payloads, variant collapse).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from clangd_to_neo4j_ray.stages import linkgraph as lg
+from clangd_to_neo4j_ray.stages import webcorpus as wc
+
+from .util import assert_matches_oracle, duckdb_con, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_boilerplate_lines_matches_oracle(ray_session):
+    assert_matches_oracle(
+        wc.boilerplate_lines(SF), wc.ORACLE_SQL["boilerplate_lines"], SF
+    )
+
+
+def test_boilerplate_scrub_matches_oracle(ray_session):
+    assert_matches_oracle(
+        wc.boilerplate_scrub(SF), wc.ORACLE_SQL["boilerplate_scrub"], SF
+    )
+
+
+def test_url_normalize_matches_oracle(ray_session):
+    assert_matches_oracle(
+        wc.url_normalize(SF), wc.ORACLE_SQL["url_normalize"], SF
+    )
+
+
+def test_url_dedup_matches_oracle(ray_session):
+    assert_matches_oracle(wc.url_dedup(SF), wc.ORACLE_SQL["url_dedup"], SF)
+
+
+def test_link_anchor_texts_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.link_anchor_texts(SF), lg.ORACLE_SQL["link_anchor_texts"], SF
+    )
+
+
+def test_boilerplate_threshold_discriminates(ray_session):
+    """Header + footer (df=100%) are boilerplate; the ~30%-frequency promo
+    line is NOT — pins that the 50% cutoff has true negatives."""
+    bp = to_pandas(wc.boilerplate_lines(SF))
+    lines = set(bp["line"])
+    assert any(l.startswith("Subscribe to the ") for l in lines)
+    assert any(l.startswith("Copyright 2026 ") for l in lines)
+    assert not any(l.startswith("Limited promo") for l in lines)
+    # per-source doc counts are exact
+    con = duckdb_con(SF)
+    totals = dict(
+        con.sql("SELECT source, count(*) FROM documents GROUP BY source")
+        .fetchall()
+    )
+    con.close()
+    for _, r in bp.iterrows():
+        assert r["n_source_docs"] == totals[r["source"]]
+        assert 2 * r["n_docs"] >= r["n_source_docs"]
+
+
+def test_boilerplate_scrub_exact_payload(ray_session):
+    """For a doc without the promo line, the scrub keeps exactly the
+    original document text: clean_md5 == md5(text)."""
+    con = duckdb_con(SF)
+    docs = dict(
+        con.sql(
+            "SELECT doc_id, text FROM documents WHERE (doc_id // 7) % 10 >= 3"
+        ).fetchall()
+    )
+    promo = dict(
+        con.sql(
+            "SELECT doc_id, source FROM documents WHERE (doc_id // 7) % 10 < 3"
+        ).fetchall()
+    )
+    con.close()
+    got = to_pandas(wc.boilerplate_scrub(SF)).set_index("doc_id")
+    for doc_id, text in docs.items():
+        row = got.loc[doc_id]
+        assert row["n_kept"] == 1 and row["n_dropped"] == 2
+        assert row["clean_md5"] == hashlib.md5(text.encode()).hexdigest()
+    for doc_id, src in promo.items():
+        row = got.loc[doc_id]
+        # promo survives (below threshold): text + promo line kept
+        assert row["n_kept"] == 2 and row["n_dropped"] == 2
+
+
+def test_url_variants_collapse(ray_session):
+    """Variant 0 (caps/port/fragment/utm/param-order) and variant 1
+    (www/trailing-slash) of the same page normalize identically; variant 2
+    differs by scheme and must stay distinct."""
+    normed = to_pandas(wc.url_normalize(SF)).set_index("doc_id")
+    # page 0 = docs 0,1,2
+    assert normed.loc[0, "url_norm"] == normed.loc[1, "url_norm"]
+    assert normed.loc[2, "url_norm"] != normed.loc[0, "url_norm"]
+    assert normed.loc[2, "url_norm"].startswith("http://")
+    assert normed.loc[0, "url_norm"].startswith("https://")
+    assert "utm" not in normed.loc[0, "url_norm"]
+    assert "#" not in normed.loc[0, "url_norm"]
+    assert "www." not in normed.loc[0, "url_norm"]
+    # path case is preserved (only scheme/host lowercase)
+    assert "/Path/" in normed.loc[0, "url_norm"]
+
+    dedup = to_pandas(wc.url_dedup(SF)).set_index("url_norm")
+    u01 = normed.loc[0, "url_norm"]
+    assert dedup.loc[u01, "n_variants"] == 2
+    assert dedup.loc[u01, "first_doc"] == 0
+    u2 = normed.loc[2, "url_norm"]
+    assert dedup.loc[u2, "n_variants"] == 1
+
+
+def test_anchor_kernel_zip_and_resolution():
+    """href/anchor capture groups zip element-wise; site-relative anchors
+    resolve to the page's own host."""
+    from clangd_to_neo4j_ray.functions.duck import sql_over
+
+    pages_s = pa.table(
+        {
+            "page_host": ["a.example.com"],
+            "html_str": [
+                '<a href="https://x.org/1">Alpha</a><p>t</p>'
+                '<a href="/l">Self</a><a href="https://x.org/2">Alpha</a>'
+            ],
+        }
+    )
+    out = sql_over(
+        f"WITH {lg._ANCHOR_CTES}\n{lg._ANCHOR_SELECT}", pages_s=pages_s
+    )
+    got = {(r["dst_host"], r["anchor"]): r["n_links"] for r in out.to_pylist()}
+    assert got == {
+        ("x.org", "Alpha"): 2,
+        ("a.example.com", "Self"): 1,
+    }
+
+
+def test_boilerplate_set_cap_guard(monkeypatch, ray_session):
+    """The broadcast-set byte cap fails loudly rather than shipping an
+    unbounded set."""
+    import pytest
+
+    monkeypatch.setattr(wc, "BOILERPLATE_SET_CAP_BYTES", 1)
+    with pytest.raises(ValueError, match="boilerplate set"):
+        wc.boilerplate_lines(SF)
