@@ -52,6 +52,25 @@ for _name, _fn in [
 ]:
     register(_name, _fn, _rel.ORACLE_SQL[_name])
 
+# --- mergeable cardinality sketches (new r5 — keep first) ---
+from .stages import sketches as _sk
+
+register(
+    "hll_vocab_registers",
+    _sk.hll_vocab_registers,
+    _sk.ORACLE_SQL["hll_vocab_registers"],
+)
+
+# --- triangle census (new r5 — keep first; the rest of the graph family
+# is registered with its module below) ---
+from .stages import graph_algo as _galgo_front
+
+register(
+    "kg_triangles",
+    _galgo_front.kg_triangles,
+    _galgo_front.ORACLE_SQL["kg_triangles"],
+)
+
 # --- web-corpus curation: boilerplate-line scrub + URL canonicalization
 # (new r5 — keep first) ---
 from .stages import webcorpus as _wc

@@ -23,6 +23,7 @@ next-round #3).
 from __future__ import annotations
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -691,6 +692,201 @@ def kg_head_entities(sf_dir: str):
     return ds.sort(["n_mentions", "name"], descending=[True, False]).limit(10)
 
 
+def triangles_ds(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+) -> ray.data.Dataset:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected graph.  Output: (node, degree, n_triangles,
+    clustering_permille) — clustering = 2*tri/(deg*(deg-1)) as integer
+    permille (floor), exact vs a SQL oracle.
+
+    Size-gated like ``connected_components_ds``: once the canonical edge
+    set is verified under ``broadcast_threshold`` rows, a driver kernel
+    (adjacency sets + lowest-vertex neighbor intersection) finishes with
+    zero further exchanges.  Distributed plan above the gate
+    (node-iterator with id-ordering, all exchanges bounded):
+
+    1. canonicalize: per-batch (min,max) per edge, drop self-loops, one
+       ``distinct`` exchange -> e(a<b).
+    2. wedges: ONE bucketed exchange on ``a`` co-locates each vertex's
+       edge list; a per-bucket polars self-join emits (a, b, c) with
+       b < c — each triangle {a<b<c} is generated exactly once, from its
+       lowest vertex.  Wedge volume is sum-of-deg(v)^2 over LOW vertices;
+       at web scale orient by (degree, id) instead of raw id to bound the
+       hot-vertex term (disclosed — id-ordering keeps the oracle a plain
+       3-way self-join).
+    3. close wedges: one bucketed semi-join of wedges(b,c) against
+       e(a,b).
+    4. degree endpoints and triangle corners union into ONE shared sum
+       exchange (a node in no triangle sums its corner column to 0 — no
+       left join), then a vectorized permille kernel.
+
+    Four bounded exchanges total.
+    """
+    from .joins import bucketed_join
+    from .shuffle import (
+        _bucketed_polars,
+        auto_num_buckets,
+        distinct,
+        grouped_agg,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[src_col], pa.string()).combine_chunks()
+        b = pc.cast(t[dst_col], pa.string()).combine_chunks()
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        keep = pc.not_equal(lo, hi)
+        return pa.table({"a": lo.filter(keep), "b": hi.filter(keep)})
+
+    e = distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"]
+    ).materialize()
+
+    if e.count() <= broadcast_threshold:
+        # size-gated driver kernel (the components/pagerank gating
+        # pattern): adjacency sets + per-lowest-vertex neighbor
+        # intersection — edge count verified small FIRST
+        adj: dict[str, set[str]] = {}
+        for b in e.iter_batches(batch_format="pyarrow"):
+            for a_, b_ in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+                adj.setdefault(a_, set()).add(b_)
+                adj.setdefault(b_, set()).add(a_)
+        tri: dict[str, int] = {n: 0 for n in adj}
+        for a_, nbrs in adj.items():
+            for b_ in nbrs:
+                if b_ <= a_:
+                    continue
+                for c_ in adj[b_] & nbrs:
+                    if c_ > b_:
+                        for v in (a_, b_, c_):
+                            tri[v] += 1
+        items = sorted(adj)
+        degs = [len(adj[n]) for n in items]
+        tris = [tri[n] for n in items]
+        perm = [
+            (2000 * t_) // (d * (d - 1)) if d >= 2 else 0
+            for d, t_ in zip(degs, tris)
+        ]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(items, type=pa.string()),
+                    "degree": pa.array(degs, type=pa.int64()),
+                    "n_triangles": pa.array(tris, type=pa.int64()),
+                    "clustering_permille": pa.array(perm, type=pa.int64()),
+                }
+            )
+        )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        n = len(t) * 2
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "degree": pa.array([1] * n, type=pa.int64()),
+                "n_triangles": pa.array([0] * n, type=pa.int64()),
+            }
+        )
+
+    def wedge_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop("__bucket")
+        w = (
+            df.join(df.rename({"b": "c"}), on="a")
+            .filter(pl.col("b") < pl.col("c"))
+            .select(["a", "b", "c"])
+        )
+        return w.to_arrow()
+
+    wedges = _bucketed_polars(e, ["a"], wedge_bucket, auto_num_buckets(e))
+
+    closed = bucketed_join(
+        wedges,
+        e.map_batches(
+            lambda t: pa.table({"x": t["a"], "y": t["b"]}),
+            batch_format="pyarrow",
+        ),
+        on=["b", "c"],
+        right_on=["x", "y"],
+        how="semi",
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        n = len(t) * 3
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t["a"].combine_chunks(),
+                        t["b"].combine_chunks(),
+                        t["c"].combine_chunks(),
+                    ]
+                ),
+                "degree": pa.array([0] * n, type=pa.int64()),
+                "n_triangles": pa.array([1] * n, type=pa.int64()),
+            }
+        )
+
+    # degree and triangle contributions share ONE exchange (a node with no
+    # triangles simply sums its corner column to 0 — no left join needed)
+    joined = grouped_agg(
+        e.map_batches(endpoints, batch_format="pyarrow").union(
+            closed.map_batches(corners, batch_format="pyarrow")
+        ),
+        ["node"],
+        {"degree": ("degree", "sum"), "n_triangles": ("n_triangles", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        deg = pc.cast(t["degree"], pa.int64())
+        tri = pc.cast(t["n_triangles"], pa.int64())
+        denom = pc.multiply(deg, pc.subtract(deg, pa.scalar(1, pa.int64())))
+        safe = pc.max_element_wise(denom, pa.scalar(1, pa.int64()))
+        # integer division: all terms non-negative, so truncation == floor
+        permille = pc.if_else(
+            pc.greater_equal(deg, pa.scalar(2, pa.int64())),
+            pc.divide(pc.multiply(tri, pa.scalar(2000, pa.int64())), safe),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "node": t["node"],
+                "degree": deg,
+                "n_triangles": tri,
+                "clustering_permille": permille,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def kg_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Driver query: triangle census + clustering coefficients of the
+    entity co-occurrence graph.  Output: (name, degree, n_triangles,
+    clustering_permille)."""
+    from ..pipelines.docs_kg import kg_triples
+
+    triples = kg_triples(sf_dir).select_columns(["subj_name", "obj_name"])
+    out = triangles_ds(triples, src_col="subj_name", dst_col="obj_name")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "name": t["node"],
+                "degree": t["degree"],
+                "n_triangles": t["n_triangles"],
+                "clustering_permille": t["clustering_permille"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "kg_reachability": """
 WITH RECURSIVE
@@ -731,6 +927,40 @@ reach(n, m) AS (
 SELECT n AS name, min(m) AS component FROM reach GROUP BY n
 """,
     "kg_pagerank": pagerank_oracle_sql(),
+    "kg_triangles": """
+WITH
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+{VOCAB},
+pairs AS (
+  SELECT DISTINCT a.tok AS w1, b.tok AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
+),
+e AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+      FROM pairs WHERE w1 <> w2),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+tn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT deg.node AS name, deg.degree,
+       CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree >= 2
+         THEN (2000 * coalesce(tn.n_triangles, 0))
+                // (deg.degree * (deg.degree - 1))
+         ELSE 0 END AS BIGINT) AS clustering_permille
+FROM deg LEFT JOIN tn ON deg.node = tn.node
+""",
     "kg_head_entities": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 {VOCAB}

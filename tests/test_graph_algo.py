@@ -258,3 +258,52 @@ def test_connected_components_delta_rounds_shrink_edge_input():
     # tail is too strict for pointer jumping; require the last round to be
     # far below the first delta round)
     assert counts[-1] <= counts[1]
+
+
+def test_triangles_handcrafted_graph():
+    """K3 {a,b,c} plus pendant d on c, plus a triangle-free star at e:
+    exact counts, degrees, and permille coefficients; direction and
+    duplicate edges must not matter.  Driver and distributed paths must
+    agree (threshold 0 forces the distributed plan)."""
+    from clangd_to_neo4j_ray.stages.graph_algo import triangles_ds
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["a", "b", "a", "c", "c", "e", "e", "b"],
+                "dst": ["b", "c", "c", "d", "a", "x", "y", "a"],
+            }
+        )
+    )
+    for thr in (100_000, 0):
+        out = {
+            r["node"]: (
+                r["degree"], r["n_triangles"], r["clustering_permille"]
+            )
+            for r in triangles_ds(ds, broadcast_threshold=thr).take_all()
+        }
+        _check_triangle_fixture(out)
+
+
+def _check_triangle_fixture(out):
+    assert out["a"] == (2, 1, 1000)
+    assert out["b"] == (2, 1, 1000)
+    # c has degree 3 (a, b, d): 1 triangle of 3 possible pairs -> 333
+    assert out["c"] == (3, 1, 333)
+    assert out["d"] == (1, 0, 0)
+    assert out["e"] == (2, 0, 0)
+    assert out["x"] == (1, 0, 0)
+
+
+def test_triangles_self_loops_dropped():
+    from clangd_to_neo4j_ray.stages.graph_algo import triangles_ds
+
+    ds = ray.data.from_arrow(
+        pa.table({"src": ["a", "a", "b"], "dst": ["a", "b", "c"]})
+    )
+    for thr in (100_000, 0):
+        out = {
+            r["node"]: r["n_triangles"]
+            for r in triangles_ds(ds, broadcast_threshold=thr).take_all()
+        }
+        assert out == {"a": 0, "b": 0, "c": 0}
