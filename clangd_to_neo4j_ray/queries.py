@@ -98,6 +98,9 @@ register(
     _lg.link_host_pagerank,
     _lg.ORACLE_SQL["link_host_pagerank"],
 )
+register(
+    "link_host_hits", _lg.link_host_hits, _lg.ORACLE_SQL["link_host_hits"]
+)
 
 # --- deterministic dataset splitting + decontamination (r5: new full
 # n-gram leakage audit; md5 split tags vectorized) ---

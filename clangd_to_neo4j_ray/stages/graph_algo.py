@@ -623,6 +623,232 @@ SELECT n AS {node_col}, CAST(v AS BIGINT) AS pr_scaled FROM {prev}
 """
 
 
+HITS_ITERS = 3  # fixed iteration count, unrolled identically in the oracle
+
+
+def hits_ds(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = HITS_ITERS,
+    scale: int = PR_SCALE,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+) -> ray.data.Dataset:
+    """HITS hubs/authorities (Kleinberg 1999) over the directed edge set,
+    integer-exact: per round, authority = sum of in-neighbor hub scores,
+    hub = sum of out-neighbor authority scores, each L1-renormalized to
+    ``scale`` with floor division — so the unrolled SQL oracle reproduces
+    every bit (the same fixed-point discipline as ``pagerank_ds``).
+
+    Output: (node, auth_scaled, hub_scaled).  Pure sources get
+    auth_scaled=0, pure sinks hub_scaled=0.
+
+    Size-gated driver numpy kernel under ``broadcast_threshold``;
+    distributed path above it: per round, TWO bucketed joins (state onto
+    edge endpoints, with per-batch pre-sum combiners) + two bounded sum
+    exchanges; the L1 totals come from O(blocks) per-batch partial sums,
+    never a full collect.  int64 headroom: scale * total <= 1e6 * 1e6 * n
+    — overflows past ~9e18, i.e. n ~ 1e6 at full concentration; raise
+    ``scale`` down if ranking larger graphs (disclosed)."""
+    from .joins import bucketed_join
+    from .shuffle import auto_num_buckets, distinct, grouped_agg
+
+    pairs = distinct(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pc.cast(t[src_col], pa.string()),
+                    "dst": pc.cast(t[dst_col], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["src", "dst"],
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pc.unique(t["src"].combine_chunks()),
+                        pc.unique(t["dst"].combine_chunks()),
+                    ]
+                )
+            }
+        )
+
+    nodes = distinct(
+        pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"]
+    ).materialize()
+    n_nodes, n_edges = nodes.count(), pairs.count()
+    init = scale // max(1, n_nodes)
+
+    if n_nodes <= broadcast_threshold and n_edges <= broadcast_threshold:
+        node_list = sorted(r["node"] for r in nodes.take_all())
+        idx = {n: i for i, n in enumerate(node_list)}
+        src = np.empty(n_edges, dtype=np.int64)
+        dst = np.empty(n_edges, dtype=np.int64)
+        k = 0
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+                src[k], dst[k] = idx[s], idx[d]
+                k += 1
+        h = np.full(n_nodes, init, dtype=np.int64)
+        a = np.zeros(n_nodes, dtype=np.int64)
+        for _ in range(iters):
+            ar = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(ar, dst, h[src])
+            a = (scale * ar) // max(1, int(ar.sum()))
+            hr = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(hr, src, a[dst])
+            h = (scale * hr) // max(1, int(hr.sum()))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_list, type=pa.string()),
+                    "auth_scaled": pa.array(a, type=pa.int64()),
+                    "hub_scaled": pa.array(h, type=pa.int64()),
+                }
+            )
+        )
+
+    state_blocks = auto_num_buckets(nodes)
+    zeros = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _propagate(
+        state: ray.data.Dataset, join_col: str, emit_col: str
+    ) -> ray.data.Dataset:
+        """Sum the state of each edge's ``join_col`` endpoint onto its
+        ``emit_col`` endpoint, L1-renormalized to ``scale``."""
+        joined = bucketed_join(
+            pairs, state, on=join_col, right_on="node", how="inner"
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            out = pa.table({"node": t[emit_col], "c": t["v"]})
+            return (
+                out.group_by("node")
+                .aggregate([("c", "sum")])
+                .rename_columns(["node", "c"])
+            )
+
+        sums = grouped_agg(
+            joined.map_batches(contrib, batch_format="pyarrow").union(zeros),
+            ["node"],
+            {"c": ("c", "sum")},
+        ).materialize()
+        total = 0
+        for b in sums.map_batches(
+            lambda t: pa.table(
+                {"s": pa.array([pc.sum(t["c"]).as_py() or 0])}
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            total += sum(b["s"].to_pylist())
+        total = max(1, total)
+
+        def norm(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "v": pa.array((scale * c) // total, type=pa.int64()),
+                }
+            )
+
+        return (
+            sums.map_batches(norm, batch_format="pyarrow")
+            .repartition(state_blocks)
+            .materialize()
+        )
+
+    h_state = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "v": pa.array(np.full(len(t), init, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    a_state = zeros.map_batches(
+        lambda t: pa.table({"node": t["node"], "v": t["c"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(iters):
+        a_state = _propagate(h_state, "src", "dst")
+        h_state = _propagate(a_state, "dst", "src")
+
+    return bucketed_join(
+        a_state.map_batches(
+            lambda t: pa.table({"node": t["node"], "auth_scaled": t["v"]}),
+            batch_format="pyarrow",
+        ),
+        h_state.map_batches(
+            lambda t: pa.table({"node": t["node"], "hub_scaled": t["v"]}),
+            batch_format="pyarrow",
+        ),
+        on="node",
+        how="inner",
+    )
+
+
+def hits_oracle_sql(
+    iters: int = HITS_ITERS,
+    scale: int = PR_SCALE,
+    *,
+    graph_ctes: str = _COOC_PAIRS_CTES,
+    node_col: str = "name",
+) -> str:
+    """Unrolled fixed-iteration HITS CTE chain — identical integer
+    arithmetic to ``hits_ds``.  ``graph_ctes`` must define
+    ``pairs(w1, w2)``, the distinct directed edge set."""
+    # each raw CTE is referenced exactly ONCE downstream (the L1 total is a
+    # window sum over the node-joined rows, not a second scalar-subquery
+    # reference) — a doubly-referenced CTE would make DuckDB's inlining
+    # re-evaluate the whole upstream chain 2x per round (exponential)
+    chain = ""
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        chain += f""",
+a{i}raw AS (
+  SELECT p.w2 AS n, CAST(sum(x.v) AS BIGINT) AS c
+  FROM pairs p JOIN {prev_h} x ON x.n = p.w1 GROUP BY p.w2),
+a{i} AS (
+  SELECT n, ({scale} * c) // greatest(1, sum(c) OVER ()) AS v
+  FROM (SELECT nd.n, COALESCE(r.c, 0) AS c
+        FROM nodes nd LEFT JOIN a{i}raw r ON r.n = nd.n)),
+h{i}raw AS (
+  SELECT p.w1 AS n, CAST(sum(x.v) AS BIGINT) AS c
+  FROM pairs p JOIN a{i} x ON x.n = p.w2 GROUP BY p.w1),
+h{i} AS (
+  SELECT n, ({scale} * c) // greatest(1, sum(c) OVER ()) AS v
+  FROM (SELECT nd.n, COALESCE(r.c, 0) AS c
+        FROM nodes nd LEFT JOIN h{i}raw r ON r.n = nd.n))"""
+        prev_h = f"h{i}"
+    return f"""
+WITH
+{graph_ctes},
+nodes AS (SELECT w1 AS n FROM pairs UNION SELECT w2 FROM pairs),
+params AS (SELECT {scale} // count(*) AS init FROM nodes),
+h0 AS (SELECT n, (SELECT init FROM params) AS v FROM nodes){chain}
+SELECT a{iters}.n AS {node_col},
+       CAST(a{iters}.v AS BIGINT) AS auth_scaled,
+       CAST(h{iters}.v AS BIGINT) AS hub_scaled
+FROM a{iters} JOIN h{iters} ON a{iters}.n = h{iters}.n
+"""
+
+
 def prune_orphans_to_fixpoint(
     nodes: ray.data.Dataset,
     edges: ray.data.Dataset,

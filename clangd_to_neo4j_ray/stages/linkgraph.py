@@ -276,6 +276,28 @@ def link_host_pagerank(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def link_host_hits(sf_dir: str) -> ray.data.Dataset:
+    """Hub/authority decomposition of the host link graph (HITS): the
+    ``.example.org`` target ring are pure authorities (no outlinks), the
+    ``.example.com`` page hosts pure-ish hubs.  Output:
+    (host, auth_scaled, hub_scaled), L1 fixed-point x 10^6 — integer-exact
+    vs the unrolled-CTE oracle, same discipline as ``link_host_pagerank``."""
+    from .graph_algo import hits_ds
+
+    edges = web_link_graph(sf_dir).select_columns(["src_host", "dst_host"])
+    out = hits_ds(edges, src_col="src_host", dst_col="dst_host")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "host": t["node"],
+                "auth_scaled": t["auth_scaled"],
+                "hub_scaled": t["hub_scaled"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 _ORACLE_PAGES = f"""pages_s AS (
   SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str
   FROM documents)"""
@@ -311,8 +333,8 @@ FROM o FULL OUTER JOIN i ON o.host = i.host
 }
 
 
-def _install_pagerank_oracle() -> None:
-    from .graph_algo import pagerank_oracle_sql
+def _install_rank_oracles() -> None:
+    from .graph_algo import hits_oracle_sql, pagerank_oracle_sql
 
     graph_ctes = f"""{_ORACLE_PAGES},
 {_EXTRACT_CTES},
@@ -321,6 +343,9 @@ pairs AS (SELECT src_host AS w1, dst_host AS w2 FROM e)"""
     ORACLE_SQL["link_host_pagerank"] = pagerank_oracle_sql(
         graph_ctes=graph_ctes, node_col="host"
     )
+    ORACLE_SQL["link_host_hits"] = hits_oracle_sql(
+        graph_ctes=graph_ctes, node_col="host"
+    )
 
 
-_install_pagerank_oracle()
+_install_rank_oracles()

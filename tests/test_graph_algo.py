@@ -307,3 +307,31 @@ def test_triangles_self_loops_dropped():
             for r in triangles_ds(ds, broadcast_threshold=thr).take_all()
         }
         assert out == {"a": 0, "b": 0, "c": 0}
+
+
+def test_hits_both_paths_agree():
+    """HITS: forced-distributed path (threshold 0) must equal the driver
+    numpy kernel bit-for-bit; hub/authority ordering sanity on a small
+    bipartite graph (h1 links to both authorities, h2 to one)."""
+    from clangd_to_neo4j_ray.stages.graph_algo import hits_ds
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["h1", "h1", "h2"],
+                "dst": ["a1", "a2", "a1"],
+            }
+        )
+    )
+    drv = {
+        r["node"]: (r["auth_scaled"], r["hub_scaled"])
+        for r in hits_ds(ds).take_all()
+    }
+    dist = {
+        r["node"]: (r["auth_scaled"], r["hub_scaled"])
+        for r in hits_ds(ds, broadcast_threshold=0).take_all()
+    }
+    assert drv == dist
+    assert drv["a1"][0] > drv["a2"][0] > 0
+    assert drv["h1"][1] > drv["h2"][1] > 0
+    assert drv["h1"][0] == 0 and drv["a1"][1] == 0  # pure hub / authority
