@@ -148,30 +148,41 @@ def extract_link_partials(page_host: pa.Array, html: pa.Array) -> pa.Table:
     )
 
 
+def doc_link_partials(batch: pa.Table) -> pa.Table:
+    """One documents batch (doc_id, text, source) -> partial
+    (src_host, dst_host, n_links) counts: synthesize the page bytes and
+    extract in one fused kernel.  Shared by the streaming link-graph plan
+    and the checkpointed per-partition build (``pipelines/weblink.py``)."""
+    synth = sql_over(
+        f"SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str FROM t",
+        t=batch,
+    )
+    return extract_link_partials(
+        synth["page_host"], pc.cast(synth["html_str"], pa.binary())
+    )
+
+
+def sum_link_partials(partials: ray.data.Dataset) -> ray.data.Dataset:
+    """ONE bucketed exchange summing (src_host, dst_host) partials."""
+    from .shuffle import grouped_agg
+
+    return grouped_agg(
+        partials,
+        ["src_host", "dst_host"],
+        {"n_links": ("n_links", "sum")},
+    )
+
+
 def web_link_graph(sf_dir: str) -> ray.data.Dataset:
     """Host-to-host link graph: (src_host, dst_host, n_links).
 
     Plan: synthesize -> extract (fused map_batches chain, zero-copy
     Arrow) -> one bucketed exchange summing the per-batch partials."""
-    from .shuffle import grouped_agg
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
-
-    def partials(batch: pa.Table) -> pa.Table:
-        synth = sql_over(
-            f"SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str FROM t",
-            t=batch,
-        )
-        return extract_link_partials(
-            synth["page_host"], pc.cast(synth["html_str"], pa.binary())
-        )
-
-    return grouped_agg(
-        ds.map_batches(partials, batch_format="pyarrow"),
-        ["src_host", "dst_host"],
-        {"n_links": ("n_links", "sum")},
+    return sum_link_partials(
+        ds.map_batches(doc_link_partials, batch_format="pyarrow")
     )
 
 
