@@ -101,6 +101,14 @@ register(
 register(
     "link_host_hits", _lg.link_host_hits, _lg.ORACLE_SQL["link_host_hits"]
 )
+register(
+    "link_cocitation", _lg.link_cocitation, _lg.ORACLE_SQL["link_cocitation"]
+)
+register(
+    "link_host_pagerank_weighted",
+    _lg.link_host_pagerank_weighted,
+    _lg.ORACLE_SQL["link_host_pagerank_weighted"],
+)
 
 # --- deterministic dataset splitting + decontamination (r5: new full
 # n-gram leakage audit; md5 split tags vectorized) ---

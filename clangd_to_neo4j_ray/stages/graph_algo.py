@@ -550,6 +550,202 @@ def pagerank_ds(
     )
 
 
+def pagerank_weighted_ds(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+) -> ray.data.Dataset:
+    """Weighted PageRank: link multiplicities steer the mass split.
+
+    Same fixed-point discipline as :func:`pagerank_ds` (init, damping,
+    floor divisions, dropped dangling mass), with the per-edge
+    contribution ``(pr(j) * w_ji) // wsum(j)`` — each floor applied
+    per edge on both sides so the oracle reproduces every bit.
+    Multi-edges in the input sum their weights (one exchange).  int64
+    headroom: pr * w <= scale * max edge weight — fine through ~1e12
+    total link count per pair.
+
+    Output: (node, pr_scaled)."""
+    from .joins import bucketed_join
+    from .shuffle import auto_num_buckets, distinct, grouped_agg
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t[src_col], pa.string()),
+                "dst": pc.cast(t[dst_col], pa.string()),
+                "w": pc.cast(t[weight_col], pa.int64()),
+            }
+        )
+
+    pairs = grouped_agg(
+        edges.map_batches(norm, batch_format="pyarrow"),
+        ["src", "dst"],
+        {"w": ("w", "sum")},
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pc.unique(t["src"].combine_chunks()),
+                        pc.unique(t["dst"].combine_chunks()),
+                    ]
+                )
+            }
+        )
+
+    nodes = distinct(
+        pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"]
+    ).materialize()
+    n_nodes, n_edges = nodes.count(), pairs.count()
+    init = scale // max(1, n_nodes)
+    tele = (15 * init) // 100
+
+    if n_nodes <= broadcast_threshold and n_edges <= broadcast_threshold:
+        node_list = sorted(r["node"] for r in nodes.take_all())
+        idx = {n: i for i, n in enumerate(node_list)}
+        src = np.empty(n_edges, dtype=np.int64)
+        dst = np.empty(n_edges, dtype=np.int64)
+        w = np.empty(n_edges, dtype=np.int64)
+        k = 0
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            for s, d, wt in zip(
+                b["src"].to_pylist(), b["dst"].to_pylist(), b["w"].to_pylist()
+            ):
+                src[k], dst[k], w[k] = idx[s], idx[d], wt
+                k += 1
+        wsum = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(wsum, src, w)
+        pr = np.full(n_nodes, init, dtype=np.int64)
+        for _ in range(iters):
+            contrib = (pr[src] * w) // wsum[src]
+            s = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(s, dst, contrib)
+            pr = tele + (85 * s) // 100
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_list, type=pa.string()),
+                    "pr_scaled": pa.array(pr, type=pa.int64()),
+                }
+            )
+        )
+
+    deg = grouped_agg(pairs, ["src"], {"wsum": ("w", "sum")})
+    pairs_deg = bucketed_join(pairs, deg, on="src", how="inner").materialize()
+    state_blocks = auto_num_buckets(nodes)
+    zeros = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    pr = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "v": pa.array(np.full(len(t), init, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(iters):
+        joined = bucketed_join(
+            pairs_deg, pr, on="src", right_on="node", how="inner"
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            v = t["v"].to_numpy(zero_copy_only=False)
+            wt = t["w"].to_numpy(zero_copy_only=False)
+            ws = t["wsum"].to_numpy(zero_copy_only=False)
+            out = pa.table(
+                {
+                    "node": t["dst"],
+                    "c": pa.array((v * wt) // ws, type=pa.int64()),
+                }
+            )
+            return (
+                out.group_by("node")
+                .aggregate([("c", "sum")])
+                .rename_columns(["node", "c"])
+            )
+
+        sums = grouped_agg(
+            joined.map_batches(contrib, batch_format="pyarrow").union(zeros),
+            ["node"],
+            {"c": ("c", "sum")},
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "v": pa.array(tele + (85 * c) // 100, type=pa.int64()),
+                }
+            )
+
+        pr = (
+            sums.map_batches(update, batch_format="pyarrow")
+            .repartition(state_blocks)
+            .materialize()
+        )
+    return pr.map_batches(
+        lambda t: pa.table({"node": t["node"], "pr_scaled": t["v"]}),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_weighted_oracle_sql(
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    *,
+    graph_ctes: str,
+    node_col: str = "name",
+) -> str:
+    """Unrolled weighted-PageRank CTE chain — identical integer arithmetic
+    to ``pagerank_weighted_ds``.  ``graph_ctes`` must define
+    ``pairs(w1, w2, w)``: the aggregated weighted directed edge set."""
+    chain = ""
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        chain += f""",
+pr{i} AS (
+  SELECT nd.n,
+         (SELECT tele FROM params)
+         + (85 * COALESCE(s.c, 0)) // 100 AS v
+  FROM nodes nd LEFT JOIN (
+    SELECT p.w2 AS n, CAST(sum((x.v * p.w) // d.wsum) AS BIGINT) AS c
+    FROM pairs p JOIN {prev} x ON x.n = p.w1 JOIN deg d ON d.n = p.w1
+    GROUP BY p.w2
+  ) s ON s.n = nd.n
+)"""
+        prev = f"pr{i}"
+    return f"""
+WITH
+{graph_ctes},
+nodes AS (SELECT w1 AS n FROM pairs UNION SELECT w2 FROM pairs),
+deg AS (SELECT w1 AS n, CAST(sum(w) AS BIGINT) AS wsum FROM pairs GROUP BY w1),
+params AS (
+  SELECT {scale} // count(*) AS init,
+         (15 * ({scale} // count(*))) // 100 AS tele
+  FROM nodes
+),
+pr0 AS (SELECT n, (SELECT init FROM params) AS v FROM nodes){chain}
+SELECT n AS {node_col}, CAST(v AS BIGINT) AS pr_scaled FROM {prev}
+"""
+
+
 def kg_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Driver query: fixed-point PageRank of the entity co-occurrence
     graph (the relevance-ranking statistic of a graph-RAG retrieval layer,

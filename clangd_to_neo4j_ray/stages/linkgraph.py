@@ -267,6 +267,46 @@ def link_anchor_texts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def link_cocitation(sf_dir: str) -> ray.data.Dataset:
+    """Co-citation relatedness: host pairs linked by the same source host.
+    Output: (host_a, host_b, n_common_src) with host_a < host_b — the
+    classic "related sites" signal (Small 1973 co-citation over the web
+    graph), the KG-side analog of the reference's co-occurrence pair
+    derivation (two symbols sharing a file, SURVEY J1 family).
+
+    Plan: distinct (src, dst) edges (one exchange), ONE bucketed exchange
+    on src co-locating each source's target list, a per-bucket polars
+    self-join emitting ordered target pairs (the triangle-census wedge
+    kernel), then one sum exchange on the pair.  Per-src outdeg^2 wedge
+    volume — degree-cap hot sources at web scale (disclosed)."""
+    import polars as pl
+
+    from .shuffle import _bucketed_polars, auto_num_buckets, distinct, grouped_agg
+
+    edges = web_link_graph(sf_dir).select_columns(["src_host", "dst_host"])
+    e = distinct(edges, ["src_host", "dst_host"]).materialize()
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop("__bucket")
+        w = (
+            df.join(
+                df.rename({"dst_host": "host_b"}), on="src_host"
+            )
+            .filter(pl.col("dst_host") < pl.col("host_b"))
+            .rename({"dst_host": "host_a"})
+            .group_by(["host_a", "host_b"])
+            .agg(pl.len().cast(pl.Int64).alias("n_common_src"))
+        )
+        return w.to_arrow()
+
+    pairs = _bucketed_polars(e, ["src_host"], pair_bucket, auto_num_buckets(e))
+    return grouped_agg(
+        pairs,
+        ["host_a", "host_b"],
+        {"n_common_src": ("n_common_src", "sum")},
+    )
+
+
 def link_host_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Host authority ranking: integer-exact PageRank over the distinct
     directed host-to-host edge set (link weights intentionally ignored —
@@ -309,6 +349,24 @@ def link_host_hits(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def link_host_pagerank_weighted(sf_dir: str) -> ray.data.Dataset:
+    """Weighted host PageRank: link MULTIPLICITY steers the mass split
+    ((pr * n_links) // wsum per edge) — hosts that link somewhere many
+    times push proportionally more authority there, unlike the unweighted
+    ``link_host_pagerank``.  Output: (host, pr_scaled), integer-exact vs
+    the unrolled weighted-CTE oracle."""
+    from .graph_algo import pagerank_weighted_ds
+
+    edges = web_link_graph(sf_dir)
+    pr = pagerank_weighted_ds(
+        edges, src_col="src_host", dst_col="dst_host", weight_col="n_links"
+    )
+    return pr.map_batches(
+        lambda t: pa.table({"host": t["node"], "pr_scaled": t["pr_scaled"]}),
+        batch_format="pyarrow",
+    )
+
+
 _ORACLE_PAGES = f"""pages_s AS (
   SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str
   FROM documents)"""
@@ -323,6 +381,16 @@ WITH {_ORACLE_PAGES},
 WITH {_ORACLE_PAGES},
 {_EXTRACT_CTES}
 {_EDGE_SELECT}
+""",
+    "link_cocitation": f"""
+WITH {_ORACLE_PAGES},
+{_EXTRACT_CTES},
+e AS ({_EDGE_SELECT})
+SELECT e1.dst_host AS host_a, e2.dst_host AS host_b,
+       CAST(count(*) AS BIGINT) AS n_common_src
+FROM e e1 JOIN e e2
+  ON e1.src_host = e2.src_host AND e1.dst_host < e2.dst_host
+GROUP BY host_a, host_b
 """,
     "link_host_degrees": f"""
 WITH {_ORACLE_PAGES},
@@ -345,7 +413,11 @@ FROM o FULL OUTER JOIN i ON o.host = i.host
 
 
 def _install_rank_oracles() -> None:
-    from .graph_algo import hits_oracle_sql, pagerank_oracle_sql
+    from .graph_algo import (
+        hits_oracle_sql,
+        pagerank_oracle_sql,
+        pagerank_weighted_oracle_sql,
+    )
 
     graph_ctes = f"""{_ORACLE_PAGES},
 {_EXTRACT_CTES},
@@ -356,6 +428,13 @@ pairs AS (SELECT src_host AS w1, dst_host AS w2 FROM e)"""
     )
     ORACLE_SQL["link_host_hits"] = hits_oracle_sql(
         graph_ctes=graph_ctes, node_col="host"
+    )
+    graph_ctes_w = f"""{_ORACLE_PAGES},
+{_EXTRACT_CTES},
+e AS ({_EDGE_SELECT}),
+pairs AS (SELECT src_host AS w1, dst_host AS w2, n_links AS w FROM e)"""
+    ORACLE_SQL["link_host_pagerank_weighted"] = pagerank_weighted_oracle_sql(
+        graph_ctes=graph_ctes_w, node_col="host"
     )
 
 

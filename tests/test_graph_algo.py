@@ -335,3 +335,55 @@ def test_hits_both_paths_agree():
     assert drv["a1"][0] > drv["a2"][0] > 0
     assert drv["h1"][1] > drv["h2"][1] > 0
     assert drv["h1"][0] == 0 and drv["a1"][1] == 0  # pure hub / authority
+
+
+def test_weighted_pagerank_both_paths_and_weight_sensitivity():
+    """Forced-distributed weighted PageRank equals the driver kernel
+    bit-for-bit; unequal multiplicities must break the symmetry the
+    unweighted rank would keep (s->a has 3 links, s->b has 1)."""
+    from clangd_to_neo4j_ray.stages.graph_algo import (
+        pagerank_ds,
+        pagerank_weighted_ds,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["s", "s"],
+                "dst": ["a", "b"],
+                "w": [3, 1],
+            }
+        )
+    )
+    drv = {
+        r["node"]: r["pr_scaled"] for r in pagerank_weighted_ds(ds).take_all()
+    }
+    dist = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank_weighted_ds(ds, broadcast_threshold=0).take_all()
+    }
+    assert drv == dist
+    assert drv["a"] > drv["b"]  # 3x the link mass
+    unw = {r["node"]: r["pr_scaled"] for r in pagerank_ds(ds).take_all()}
+    assert unw["a"] == unw["b"]  # unweighted rank ignores multiplicity
+
+
+def test_weighted_pagerank_multi_edges_sum():
+    """Duplicate (src, dst) input rows aggregate their weights before the
+    rank — 1+2 on one edge equals a single 3-weight edge."""
+    from clangd_to_neo4j_ray.stages.graph_algo import pagerank_weighted_ds
+
+    dup = ray.data.from_arrow(
+        pa.table(
+            {"src": ["s", "s", "s"], "dst": ["a", "a", "b"], "w": [1, 2, 1]}
+        )
+    )
+    single = ray.data.from_arrow(
+        pa.table({"src": ["s", "s"], "dst": ["a", "b"], "w": [3, 1]})
+    )
+    a = {r["node"]: r["pr_scaled"] for r in pagerank_weighted_ds(dup).take_all()}
+    b = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank_weighted_ds(single).take_all()
+    }
+    assert a == b

@@ -112,3 +112,23 @@ def test_degree_conservation(ray_session):
     assert df["out_links"].sum() == df["in_links"].sum()
     edges = to_pandas(lg.web_link_graph(SF))
     assert df["out_links"].sum() == edges["n_links"].sum()
+
+
+def test_link_cocitation_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.link_cocitation(SF), lg.ORACLE_SQL["link_cocitation"], SF
+    )
+
+
+def test_link_host_pagerank_weighted_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.link_host_pagerank_weighted(SF),
+        lg.ORACLE_SQL["link_host_pagerank_weighted"],
+        SF,
+    )
+
+
+def test_link_host_hits_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.link_host_hits(SF), lg.ORACLE_SQL["link_host_hits"], SF
+    )
