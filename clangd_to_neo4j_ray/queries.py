@@ -75,7 +75,13 @@ register(
 # (new r5 — keep first) ---
 from .stages import webcorpus as _wc
 
-for _name in ("boilerplate_lines", "boilerplate_scrub", "url_normalize", "url_dedup"):
+for _name in (
+    "crawl_delta",
+    "boilerplate_lines",
+    "boilerplate_scrub",
+    "url_normalize",
+    "url_dedup",
+):
     register(_name, getattr(_wc, _name), _wc.ORACLE_SQL[_name])
 
 # --- host-level web link graph off the html binary column (new r5:
@@ -108,6 +114,11 @@ register(
     "link_host_pagerank_weighted",
     _lg.link_host_pagerank_weighted,
     _lg.ORACLE_SQL["link_host_pagerank_weighted"],
+)
+register(
+    "anchor_entity_links",
+    _lg.anchor_entity_links,
+    _lg.ORACLE_SQL["anchor_entity_links"],
 )
 
 # --- deterministic dataset splitting + decontamination (r5: new full

@@ -50,7 +50,8 @@ _HTML_EXPR = """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
   || '</title></head><body><p>' || text || '</p>'
   || CASE WHEN doc_id % 3 >= 1 THEN
        '<a href="https://s' || CAST((doc_id + 7) % 16 AS VARCHAR)
-       || '.example.org/p/' || CAST(doc_id * 31 + 1 AS VARCHAR) || '">r1</a>'
+       || '.example.org/p/' || CAST(doc_id * 31 + 1 AS VARCHAR) || '">'
+       || split_part(text, ' ', 1) || '</a>'
      ELSE '' END
   || CASE WHEN doc_id % 3 >= 2 THEN
        '<a href="https://s' || CAST((doc_id + 14) % 16 AS VARCHAR)
@@ -327,6 +328,53 @@ def link_host_pagerank(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def anchor_entity_links(sf_dir: str) -> ray.data.Dataset:
+    """Entity-host evidence from anchor text: anchors whose text IS a
+    vocabulary entity become (name, dst_host, n_links) edges — what the
+    rest of the web calls a page, resolved against the entity dictionary
+    (the web-native analog of the reference's alias-dictionary linking,
+    SURVEY T1/J1; the first synthesized anchor carries the page's leading
+    token, so vocabulary hits are real, not vacuous).
+
+    Plan: rides the SAME fused synthesize+extract scan as
+    :func:`link_anchor_texts` with a vectorized ``is_in`` vocabulary
+    filter per batch (the broadcast dictionary is a module constant both
+    sides share), then ONE bucketed exchange."""
+    from ..pipelines.docs_kg import _VOCAB_ARRAY
+    from .shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        out = sql_over(
+            f"""WITH pages_s AS (
+              SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str
+              FROM t),
+            {_ANCHOR_CTES}
+            {_ANCHOR_SELECT}""",
+            t=batch,
+        )
+        keep = pc.is_in(
+            out["anchor"].combine_chunks(), value_set=_VOCAB_ARRAY
+        )
+        kept = out.filter(keep)
+        return pa.table(
+            {
+                "name": kept["anchor"],
+                "dst_host": kept["dst_host"],
+                "n_links": kept["n_links"],
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["name", "dst_host"],
+        {"n_links": ("n_links", "sum")},
+    )
+
+
 def link_host_hits(sf_dir: str) -> ray.data.Dataset:
     """Hub/authority decomposition of the host link graph (HITS): the
     ``.example.org`` target ring are pure authorities (no outlinks), the
@@ -376,6 +424,14 @@ ORACLE_SQL = {
 WITH {_ORACLE_PAGES},
 {_ANCHOR_CTES}
 {_ANCHOR_SELECT}
+""",
+    "anchor_entity_links": """
+WITH {PAGES},
+{ANCHORS},
+{VOCAB},
+agg AS ({SELECT})
+SELECT agg.anchor AS name, agg.dst_host, agg.n_links
+FROM agg JOIN vocab v ON v.name = agg.anchor
 """,
     "web_link_graph": f"""
 WITH {_ORACLE_PAGES},
@@ -435,6 +491,15 @@ e AS ({_EDGE_SELECT}),
 pairs AS (SELECT src_host AS w1, dst_host AS w2, n_links AS w FROM e)"""
     ORACLE_SQL["link_host_pagerank_weighted"] = pagerank_weighted_oracle_sql(
         graph_ctes=graph_ctes_w, node_col="host"
+    )
+    from ..pipelines.docs_kg import SQL_VOCAB
+
+    ORACLE_SQL["anchor_entity_links"] = (
+        ORACLE_SQL["anchor_entity_links"]
+        .replace("{PAGES}", _ORACLE_PAGES)
+        .replace("{ANCHORS}", _ANCHOR_CTES)
+        .replace("{VOCAB}", SQL_VOCAB)
+        .replace("{SELECT}", _ANCHOR_SELECT)
     )
 
 

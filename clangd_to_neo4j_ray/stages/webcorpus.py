@@ -283,6 +283,115 @@ def url_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# -- crawl snapshot diff ------------------------------------------------------
+
+# snapshot B, synthesized deterministically from snapshot A (= documents):
+# doc_id % 10 == 3 removed, % 10 == 7 content-changed, and for % 10 == 0 a
+# brand-new page (doc_id + 1000000) appears.  Shared verbatim with the
+# oracle.
+SNAPSHOT_B_CTES = """b_kept AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN text || ' updated' ELSE text END
+           AS text
+  FROM a WHERE doc_id % 10 <> 3),
+b AS (
+  SELECT doc_id, text FROM b_kept
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new page ' || doc_id AS text
+  FROM a WHERE doc_id % 10 = 0)"""
+
+
+def crawl_delta(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-to-crawl snapshot diff: which pages were added, removed, or
+    content-changed between snapshot A (the documents table) and snapshot
+    B (deterministic synthetic successor).  Output: (doc_id, status) for
+    status in {added, removed, changed} — unchanged pages are dropped
+    (the dirty set, the reference's git-diff incremental source S9/D6/D7
+    generalized to crawl snapshots).
+
+    Plan: each snapshot's scan emits (doc_id, side flags, content md5)
+    rows — the fingerprints ride the scans, full text never moves — then
+    ONE bucketed exchange groups per doc_id (max-folding the one-sided
+    fingerprints) and a vectorized status kernel filters the dirty set.
+    No join operator needed: presence/absence and fingerprint equality
+    fall out of one grouped aggregation."""
+    import pyarrow.compute as pc
+
+    from ..functions.duck import md5_hex_arrow
+    from .shuffle import grouped_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def a_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_a": pa.array([1] * n, type=pa.int64()),
+                "n_b": pa.array([0] * n, type=pa.int64()),
+                "fp_a": md5_hex_arrow(batch["text"]),
+                "fp_b": pa.array([""] * n, type=pa.string()),
+            }
+        )
+
+    def b_rows(batch: pa.Table) -> pa.Table:
+        out = sql_over(
+            f"""WITH a AS (SELECT * FROM t), {SNAPSHOT_B_CTES}
+            SELECT doc_id, md5(text) AS fp FROM b""",
+            t=batch,
+        )
+        n = len(out)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_a": pa.array([0] * n, type=pa.int64()),
+                "n_b": pa.array([1] * n, type=pa.int64()),
+                "fp_a": pa.array([""] * n, type=pa.string()),
+                "fp_b": out["fp"],
+            }
+        )
+
+    tagged = ds.map_batches(a_rows, batch_format="pyarrow").union(
+        ds.map_batches(b_rows, batch_format="pyarrow")
+    )
+    folded = grouped_agg(
+        tagged,
+        ["doc_id"],
+        {
+            "n_a": ("n_a", "sum"),
+            "n_b": ("n_b", "sum"),
+            "fp_a": ("fp_a", "max"),
+            "fp_b": ("fp_b", "max"),
+        },
+    )
+
+    def status(t: pa.Table) -> pa.Table:
+        absent_a = pc.equal(t["n_a"], pa.scalar(0, pa.int64()))
+        absent_b = pc.equal(t["n_b"], pa.scalar(0, pa.int64()))
+        changed = pc.and_(
+            pc.and_(pc.invert(absent_a), pc.invert(absent_b)),
+            pc.not_equal(t["fp_a"], t["fp_b"]),
+        )
+        st = pc.if_else(
+            absent_a,
+            pa.scalar("added"),
+            pc.if_else(
+                absent_b,
+                pa.scalar("removed"),
+                pc.if_else(changed, pa.scalar("changed"), pa.scalar("")),
+            ),
+        )
+        keep = pc.not_equal(st, pa.scalar(""))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(keep),
+                "status": st.filter(keep),
+            }
+        )
+
+    return folded.map_batches(status, batch_format="pyarrow")
+
+
 # -- oracles ------------------------------------------------------------------
 
 _ORACLE_LINES = f"""docs AS (SELECT doc_id, text, source FROM documents),
@@ -314,6 +423,18 @@ SELECT doc_id,
        CAST(count(*) FILTER (is_bp) AS BIGINT) AS n_dropped,
        md5(string_agg(line, {_NL} ORDER BY i) FILTER (NOT is_bp)) AS clean_md5
 FROM tagged GROUP BY doc_id
+""",
+    "crawl_delta": f"""
+WITH a AS (SELECT doc_id, text FROM documents),
+{SNAPSHOT_B_CTES},
+fa AS (SELECT doc_id, md5(text) AS fp FROM a),
+fb AS (SELECT doc_id, md5(text) AS fp FROM b)
+SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+       CASE WHEN fa.doc_id IS NULL THEN 'added'
+            WHEN fb.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+WHERE fa.doc_id IS NULL OR fb.doc_id IS NULL OR fa.fp <> fb.fp
 """,
     "url_normalize": f"""
 WITH raw AS (SELECT doc_id, {RAW_URL_EXPR} AS url_raw FROM documents),

@@ -152,3 +152,35 @@ def test_boilerplate_set_cap_guard(monkeypatch, ray_session):
     monkeypatch.setattr(wc, "BOILERPLATE_SET_CAP_BYTES", 1)
     with pytest.raises(ValueError, match="boilerplate set"):
         wc.boilerplate_lines(SF)
+
+
+def test_crawl_delta_matches_oracle(ray_session):
+    assert_matches_oracle(
+        wc.crawl_delta(SF), wc.ORACLE_SQL["crawl_delta"], SF
+    )
+
+
+def test_crawl_delta_status_classes(ray_session):
+    """Exactly the synthesized dirty set comes out: %10==3 removed,
+    %10==7 changed, one added page (id+1000000) per %10==0 doc — and
+    nothing else (unchanged pages never surface)."""
+    df = to_pandas(wc.crawl_delta(SF))
+    by = {s: set(g["doc_id"]) for s, g in df.groupby("status")}
+    con = duckdb_con(SF)
+    ids = [r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()]
+    con.close()
+    assert by["removed"] == {i for i in ids if i % 10 == 3}
+    assert by["changed"] == {i for i in ids if i % 10 == 7}
+    assert by["added"] == {i + 1000000 for i in ids if i % 10 == 0}
+    assert len(df) == len(set(df["doc_id"]))
+
+
+def test_anchor_entity_links_matches_oracle_and_nonvacuous(ray_session):
+    assert_matches_oracle(
+        lg.anchor_entity_links(SF), lg.ORACLE_SQL["anchor_entity_links"], SF
+    )
+    df = to_pandas(lg.anchor_entity_links(SF))
+    assert len(df) > 0  # the fixture's leading-token anchors hit the vocab
+    from clangd_to_neo4j_ray.pipelines.docs_kg import ENTITY_VOCAB
+
+    assert set(df["name"]) <= set(ENTITY_VOCAB)
