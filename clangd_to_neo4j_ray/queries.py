@@ -60,6 +60,11 @@ register(
     _sk.hll_vocab_registers,
     _sk.ORACLE_SQL["hll_vocab_registers"],
 )
+register(
+    "cms_token_counts",
+    _sk.cms_token_counts,
+    _sk.ORACLE_SQL["cms_token_counts"],
+)
 
 # --- triangle census (new r5 — keep first; the rest of the graph family
 # is registered with its module below) ---

@@ -114,11 +114,97 @@ def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
     return est
 
 
+# -- count-min sketch ---------------------------------------------------------
+# Cormode-Muthukrishnan 2005: d row-salted hash rows x w buckets of COUNTS.
+# Sum-mergeable (vs HLL's max-merge): per-batch partial registers add up in
+# one exchange, giving frequency UPPER bounds (estimate = min over rows).
+
+CMS_D = 4  # hash rows (salt 0..3)
+CMS_W = 256  # buckets per row: first byte of the salted md5
+
+# toks(source, tok) -> cms(source, row_id, bucket, cnt)  [shared w/ oracle]
+CMS_REG_CTES = f"""salted AS (
+  SELECT source,
+         r.r AS row_id,
+         md5(CAST(r.r AS VARCHAR) || ':' || tok) AS h
+  FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)),
+cms AS (
+  SELECT source, row_id,
+    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM salted GROUP BY source, row_id, bucket)"""
+
+_CMS_SELECT = "SELECT source, row_id, bucket, cnt FROM cms"
+
+
+def cms_partial_registers(toks: pa.Table) -> pa.Table:
+    """One batch of (source, tok) OCCURRENCE rows -> partial count-min
+    registers (source, row_id, bucket, cnt); bounded at
+    sources x d x w rows per batch."""
+    return sql_over(f"WITH {CMS_REG_CTES}\n{_CMS_SELECT}", toks=toks)
+
+
+def cms_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-source count-min sketch of token frequencies.
+
+    Output: (source, row_id, bucket, cnt) — the sparse register table,
+    value-exact vs the oracle (the construction SQL is shared verbatim).
+
+    Plan: per-batch token explode + partial registers, ONE bucketed
+    exchange SUMMING them — sketch state bounded at sources x d x w
+    whatever the corpus size."""
+    from .shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            f"""WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok FROM b),
+            {CMS_REG_CTES}
+            {_CMS_SELECT}""",
+            b=batch,
+        )
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "row_id", "bucket"],
+        {"cnt": ("cnt", "sum")},
+    )
+
+
+def cms_bucket(tok: str, row_id: int) -> int:
+    """Python reference of the shared SQL bucket construction."""
+    import hashlib
+
+    h = hashlib.md5(f"{row_id}:{tok}".encode()).hexdigest()
+    return int(h[:2], 16)
+
+
+def cms_estimate(
+    registers: dict[tuple[int, int], int], tok: str, d: int = CMS_D
+) -> int:
+    """Point frequency estimate for one source's registers
+    {(row_id, bucket): cnt}: min over rows (missing bucket = 0)."""
+    return min(
+        registers.get((r, cms_bucket(tok, r)), 0) for r in range(d)
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "hll_vocab_registers": f"""
 WITH toks AS (
   SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
 {HLL_REG_CTES}
 {_REG_SELECT}
+""",
+    "cms_token_counts": f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+{CMS_REG_CTES}
+{_CMS_SELECT}
 """,
 }

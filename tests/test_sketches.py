@@ -70,3 +70,53 @@ def test_hll_partial_is_bounded():
     )
     out = sk.hll_partial_registers(toks)
     assert len(out) <= sk.HLL_M
+
+
+def test_cms_registers_match_oracle(ray_session):
+    assert_matches_oracle(
+        sk.cms_token_counts(SF), sk.ORACLE_SQL["cms_token_counts"], SF
+    )
+
+
+def test_cms_estimates_upper_bound_exact_counts(ray_session):
+    """CMS point estimates are >= the true frequency for every token
+    (one-sided error), and exact for the hottest tokens when collisions
+    are unlikely to dominate."""
+    regs = to_pandas(sk.cms_token_counts(SF))
+    con = duckdb_con(SF)
+    exact = con.sql(
+        "SELECT source, tok, CAST(count(*) AS BIGINT) FROM (SELECT source, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "GROUP BY source, tok"
+    ).fetchall()
+    con.close()
+    by_source: dict = {}
+    for _, r in regs.iterrows():
+        by_source.setdefault(r["source"], {})[
+            (r["row_id"], r["bucket"])
+        ] = r["cnt"]
+    over = 0
+    for source, tok, n in exact:
+        est = sk.cms_estimate(by_source[source], tok)
+        assert est >= n, (source, tok, est, n)
+        if est > n:
+            over += 1
+    assert over < len(exact)  # not everything collided
+
+
+def test_cms_merge_is_sum():
+    """Registers of a union equal the element-wise SUM of the parts —
+    the property that makes per-batch partials + a sum exchange exact."""
+    a = pa.table({"source": ["s"] * 3, "tok": ["x", "y", "x"]})
+    b = pa.table({"source": ["s"] * 2, "tok": ["x", "z"]})
+    both = pa.table({"source": ["s"] * 5, "tok": ["x", "y", "x", "x", "z"]})
+    merged: dict = {}
+    for t in (sk.cms_partial_registers(a), sk.cms_partial_registers(b)):
+        for r in t.to_pylist():
+            k = (r["source"], r["row_id"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    direct = {
+        (r["source"], r["row_id"], r["bucket"]): r["cnt"]
+        for r in sk.cms_partial_registers(both).to_pylist()
+    }
+    assert merged == direct
