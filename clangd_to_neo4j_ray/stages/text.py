@@ -196,6 +196,43 @@ def text_token_bpeish(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(counts, batch_format="pyarrow")
 
 
+def bpe_pair_counts(sf_dir: str) -> ray.data.Dataset:
+    """Round-1 BPE merge statistics: corpus-wide counts of adjacent
+    character pairs inside whitespace tokens — the aggregate a BPE
+    tokenizer trainer computes before its first merge (Sennrich et al.
+    2016).  Output: (pair, n_pairs).
+
+    Plan: per-batch explode (token -> char bigrams, one embedded DuckDB
+    kernel) with per-batch partial sums, then ONE bucketed exchange —
+    the key space is bounded by alphabet^2, so the exchange is tiny no
+    matter the corpus size (the same partial/combine shape as the A3
+    counter accumulation)."""
+    from ..functions.duck import sql_over
+    from .shuffle import grouped_agg
+
+    ds = _read_docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            """WITH tok AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM b),
+            bi AS (
+              SELECT substr(tok, i, 2) AS pair
+              FROM (SELECT tok,
+                      unnest(generate_series(1, length(tok) - 1)) AS i
+                    FROM tok))
+            SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM bi GROUP BY pair""",
+            b=batch,
+        )
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["pair"],
+        {"n_pairs": ("n_pairs", "sum")},
+    )
+
+
 def text_repetition(sf_dir: str) -> ray.data.Dataset:
     """Repetition-based quality stats (the Gopher/C4 duplicate-n-gram rule
     family): per-document 2-gram duplication, integer-exact.
@@ -475,6 +512,15 @@ r AS (
   FROM cnt
 )
 SELECT source, tok, n FROM r WHERE rk <= {VOCAB_K}
+""",
+    "bpe_pair_counts": f"""
+WITH {_SQL_TOK},
+bi AS (
+  SELECT substr(tok, j, 2) AS pair
+  FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS j
+        FROM tok))
+SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs
+FROM bi GROUP BY pair
 """,
     "text_token_bpeish": f"""
 SELECT doc_id,
