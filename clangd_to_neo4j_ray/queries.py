@@ -148,6 +148,7 @@ register(
     _lg.anchor_entity_links,
     _lg.ORACLE_SQL["anchor_entity_links"],
 )
+register("url_frontier", _lg.url_frontier, _lg.ORACLE_SQL["url_frontier"])
 
 # --- deterministic dataset splitting + decontamination (r5: new full
 # n-gram leakage audit; md5 split tags vectorized) ---

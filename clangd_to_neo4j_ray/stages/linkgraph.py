@@ -32,6 +32,12 @@ one more O(edges)-input exchange.
 Out-of-contract hrefs (mailto:, javascript:, fragments, non-root
 relative paths) are dropped by design; absolute http(s), scheme-relative
 (``//host/...``) and site-root-relative (``/...``) links resolve.
+
+The family built on this edge set (all oracle-exact): degree rollups,
+unweighted and link-multiplicity-weighted integer PageRank, HITS
+hubs/authorities, co-citation relatedness pairs, anchor-text profiles,
+anchor->entity-dictionary evidence edges, and a per-partition
+checkpointed build (``pipelines/weblink.py``).
 """
 
 from __future__ import annotations
@@ -58,6 +64,7 @@ _HTML_EXPR = """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
        || '.example.org/p/' || CAST(doc_id * 31 + 2 AS VARCHAR) || '">r2</a>'
      ELSE '' END
   || '<a href="/local/' || CAST(doc_id AS VARCHAR) || '">self</a>'
+  || '<a href="/doc/' || CAST(doc_id + 20 AS VARCHAR) || '">next</a>'
   || '</body></html>'"""
 
 # -- extraction (shared CTE: per-batch kernel AND oracle) --------------------
@@ -308,6 +315,76 @@ def link_cocitation(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# full-URL resolution for frontier generation: absolute hrefs pass
+# through, scheme-relative gain https, site-root-relative resolve against
+# the page's own host (shared verbatim with the oracle)
+_FRONTIER_CTES = """furls AS (
+  SELECT CASE WHEN href LIKE '//%' THEN 'https:' || href
+              WHEN href LIKE '/%'
+                THEN 'https://' || page_host || href
+              WHEN regexp_matches(href, '^https?://') THEN href
+              ELSE NULL END AS url
+  FROM links)"""
+
+_FRONTIER_SELECT = """SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+FROM furls WHERE url IS NOT NULL GROUP BY url"""
+
+
+def url_frontier(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-frontier generation: every link target URL that is NOT
+    already a page in the corpus, with its reference count — the next
+    fetch list a crawler derives from the current snapshot (the web-native
+    analog of the reference's discovery-from-includes union, SURVEY M8:
+    targets referenced by edges but absent from the node set).
+
+    Plan: the fused synthesize+extract scan resolves each href to a full
+    URL and pre-sums per batch; one bucketed exchange sums reference
+    counts per URL; one bucketed ANTI join removes URLs the corpus
+    already has (the corpus side streams through the exchange — never a
+    driver set, so the plan holds when the crawl is the big side)."""
+    from .joins import bucketed_join
+    from .shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            f"""WITH pages_s AS (
+              SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str
+              FROM t),
+            links AS (
+              SELECT page_host,
+                     unnest(regexp_extract_all(html_str, 'href="([^"]*)"', 1))
+                       AS href
+              FROM pages_s),
+            {_FRONTIER_CTES}
+            {_FRONTIER_SELECT}""",
+            t=batch,
+        )
+
+    refs = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["url"],
+        {"n_refs": ("n_refs", "sum")},
+    )
+
+    def corpus_urls(batch: pa.Table) -> pa.Table:
+        out = sql_over(
+            f"""SELECT 'https://' || {_PAGE_HOST_EXPR} || '/doc/'
+                  || CAST(doc_id AS VARCHAR) AS url FROM t""",
+            t=batch,
+        )
+        return out
+
+    have = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(corpus_urls, batch_format="pyarrow")
+
+    return bucketed_join(refs, have, on="url", how="anti")
+
+
 def link_host_pagerank(sf_dir: str) -> ray.data.Dataset:
     """Host authority ranking: integer-exact PageRank over the distinct
     directed host-to-host edge set (link weights intentionally ignored —
@@ -437,6 +514,20 @@ FROM agg JOIN vocab v ON v.name = agg.anchor
 WITH {_ORACLE_PAGES},
 {_EXTRACT_CTES}
 {_EDGE_SELECT}
+""",
+    "url_frontier": f"""
+WITH {_ORACLE_PAGES},
+links AS (
+  SELECT page_host,
+         unnest(regexp_extract_all(html_str, 'href="([^"]*)"', 1)) AS href
+  FROM pages_s),
+{_FRONTIER_CTES},
+refs AS ({_FRONTIER_SELECT}),
+have AS (
+  SELECT 'https://' || {_PAGE_HOST_EXPR} || '/doc/'
+    || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT r.url, r.n_refs FROM refs r ANTI JOIN have h ON r.url = h.url
 """,
     "link_cocitation": f"""
 WITH {_ORACLE_PAGES},

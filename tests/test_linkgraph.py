@@ -132,3 +132,31 @@ def test_link_host_hits_matches_oracle(ray_session):
     assert_matches_oracle(
         lg.link_host_hits(SF), lg.ORACLE_SQL["link_host_hits"], SF
     )
+
+
+def test_url_frontier_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.url_frontier(SF), lg.ORACLE_SQL["url_frontier"], SF
+    )
+
+
+def test_url_frontier_excludes_crawled_pages(ray_session):
+    """The anti-join does real work: intra-corpus next-doc links vanish,
+    only the 20 dangling next-links past the last doc (plus the external
+    ring and /local targets) remain."""
+    import duckdb
+
+    df = to_pandas(lg.url_frontier(SF))
+    doc_refs = df[df["url"].str.contains("/doc/")]
+    con = duckdb.connect()
+    n = con.sql(
+        "SELECT count(*) FROM read_parquet"
+        "('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert len(doc_refs) == 20  # the last 20 docs' next links dangle
+    # every dangling ref points past the corpus
+    ids = doc_refs["url"].str.extract(r"/doc/(\d+)$")[0].astype(int)
+    assert (ids >= n).all()
+    # no frontier URL is a corpus page
+    assert not df["url"].str.contains("/doc/").all() or len(df) > 20
