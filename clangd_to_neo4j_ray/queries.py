@@ -149,6 +149,7 @@ register(
     _lg.ORACLE_SQL["anchor_entity_links"],
 )
 register("url_frontier", _lg.url_frontier, _lg.ORACLE_SQL["url_frontier"])
+register("host_profiles", _lg.host_profiles, _lg.ORACLE_SQL["host_profiles"])
 
 # --- deterministic dataset splitting + decontamination (r5: new full
 # n-gram leakage audit; md5 split tags vectorized) ---

@@ -315,6 +315,76 @@ def link_cocitation(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def host_profiles(sf_dir: str) -> ray.data.Dataset:
+    """Host reputation table: page-content stats fused with link-graph
+    degrees per host — the per-source summary a web KG keeps next to its
+    node table (the A5 file-summary grouped reduce, keyed by host, plus
+    the J9 edge-endpoint lookup).  Output: (host, n_pages, n_tokens,
+    in_links, out_links); pure link targets (the ``.example.org`` ring)
+    appear with zero pages, pure content hosts with zero links.
+
+    Plan: the content side emits per-batch partial (host, n_pages,
+    n_tokens) rows off ONE documents scan; the degree side reuses the
+    link-graph exchange output.  Both sides are tagged into a common
+    schema and FOLDED IN ONE grouped-sum exchange — no join operator
+    (the crawl_delta presence-fold shape)."""
+    from .shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def content_partials(batch: pa.Table) -> pa.Table:
+        out = sql_over(
+            f"""SELECT {_PAGE_HOST_EXPR} AS host,
+                  CAST(count(*) AS BIGINT) AS n_pages,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS n_tokens
+                FROM t GROUP BY host""",
+            t=batch,
+        )
+        n = len(out)
+        zeros = pa.array([0] * n, type=pa.int64())
+        return pa.table(
+            {
+                "host": out["host"],
+                "n_pages": out["n_pages"],
+                "n_tokens": out["n_tokens"],
+                "in_links": zeros,
+                "out_links": zeros,
+            }
+        )
+
+    def degree_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        zeros = pa.array([0] * n, type=pa.int64())
+        return pa.table(
+            {
+                "host": batch["host"],
+                "n_pages": zeros,
+                "n_tokens": zeros,
+                "in_links": batch["in_links"],
+                "out_links": batch["out_links"],
+            }
+        )
+
+    tagged = ds.map_batches(content_partials, batch_format="pyarrow").union(
+        link_host_degrees(sf_dir).map_batches(
+            degree_rows, batch_format="pyarrow"
+        )
+    )
+    return grouped_agg(
+        tagged,
+        ["host"],
+        {
+            "n_pages": ("n_pages", "sum"),
+            "n_tokens": ("n_tokens", "sum"),
+            "in_links": ("in_links", "sum"),
+            "out_links": ("out_links", "sum"),
+        },
+    )
+
+
 # full-URL resolution for frontier generation: absolute hrefs pass
 # through, scheme-relative gain https, site-root-relative resolve against
 # the page's own host (shared verbatim with the oracle)
@@ -514,6 +584,30 @@ FROM agg JOIN vocab v ON v.name = agg.anchor
 WITH {_ORACLE_PAGES},
 {_EXTRACT_CTES}
 {_EDGE_SELECT}
+""",
+    "host_profiles": f"""
+WITH {_ORACLE_PAGES},
+{_EXTRACT_CTES},
+e AS ({_EDGE_SELECT}),
+o AS (SELECT src_host AS host, CAST(sum(n_links) AS BIGINT) AS out_links
+      FROM e GROUP BY src_host),
+i AS (SELECT dst_host AS host, CAST(sum(n_links) AS BIGINT) AS in_links
+      FROM e GROUP BY dst_host),
+c AS (SELECT {_PAGE_HOST_EXPR} AS host,
+             CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY host),
+hosts AS (
+  SELECT host FROM c UNION SELECT host FROM o UNION SELECT host FROM i)
+SELECT h.host,
+       CAST(coalesce(c.n_pages, 0) AS BIGINT) AS n_pages,
+       CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(i.in_links, 0) AS BIGINT) AS in_links,
+       CAST(coalesce(o.out_links, 0) AS BIGINT) AS out_links
+FROM hosts h
+LEFT JOIN c ON c.host = h.host
+LEFT JOIN o ON o.host = h.host
+LEFT JOIN i ON i.host = h.host
 """,
     "url_frontier": f"""
 WITH {_ORACLE_PAGES},

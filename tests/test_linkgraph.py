@@ -160,3 +160,20 @@ def test_url_frontier_excludes_crawled_pages(ray_session):
     assert (ids >= n).all()
     # no frontier URL is a corpus page
     assert not df["url"].str.contains("/doc/").all() or len(df) > 20
+
+
+def test_host_profiles_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.host_profiles(SF), lg.ORACLE_SQL["host_profiles"], SF
+    )
+
+
+def test_host_profiles_pure_targets_and_sources(ray_session):
+    """Ring hosts (pure link targets) carry zero pages but positive
+    in-links; content hosts carry pages and out-links."""
+    df = to_pandas(lg.host_profiles(SF)).set_index("host")
+    ring = df[df.index.str.endswith(".example.org")]
+    assert (ring["n_pages"] == 0).all() and (ring["in_links"] > 0).all()
+    content = df[df.index.str.endswith(".example.com")]
+    assert (content["n_pages"] > 0).all() and (content["out_links"] > 0).all()
+    assert (content["n_tokens"] > 0).all()
