@@ -184,3 +184,65 @@ def test_anchor_entity_links_matches_oracle_and_nonvacuous(ray_session):
     from clangd_to_neo4j_ray.pipelines.docs_kg import ENTITY_VOCAB
 
     assert set(df["name"]) <= set(ENTITY_VOCAB)
+
+
+def test_url_normalization_idempotent_property():
+    """hypothesis: normalization is a projection — applying the shared
+    SQL expression to its own output changes nothing (for URLs built from
+    the grammar the contract covers)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clangd_to_neo4j_ray.functions.duck import sql_over
+
+    def norm_many(urls):
+        raw = pa.table(
+            {
+                "doc_id": pa.array(range(len(urls)), type=pa.int64()),
+                "url_raw": pa.array(urls, type=pa.string()),
+            }
+        )
+        out = sql_over(
+            f"WITH {wc.URL_NORM_CTES}\nSELECT doc_id, url_norm FROM normed",
+            raw=raw,
+        )
+        return out["url_norm"].to_pylist()
+
+    label = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ09",
+        min_size=1,
+        max_size=8,
+    )
+
+    @st.composite
+    def url(draw):
+        scheme = draw(st.sampled_from(["http", "https", "HTTP", "Https"]))
+        www = draw(st.booleans())
+        host = ".".join(draw(st.lists(label, min_size=1, max_size=3)))
+        port = draw(st.sampled_from(["", ":80", ":443"]))
+        path = "".join("/" + draw(label) for _ in range(draw(st.integers(0, 3))))
+        slash = draw(st.booleans())
+        params = draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["a", "b", "zz", "utm_source", "utm_x"]),
+                    label,
+                ),
+                max_size=3,
+            )
+        )
+        frag = draw(st.sampled_from(["", "#f", "#frag1"]))
+        q = "&".join(f"{k}={v}" for k, v in params)
+        return (
+            f"{scheme}://{'www.' if www else ''}{host}{port}{path}"
+            f"{'/' if slash and path else ''}{('?' + q) if q else ''}{frag}"
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(url(), min_size=1, max_size=20))
+    def check(urls):
+        once = norm_many(urls)
+        twice = norm_many(once)
+        assert once == twice
+
+    check()
