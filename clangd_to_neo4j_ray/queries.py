@@ -98,6 +98,11 @@ register(
     _galgo_front.kg_triangles,
     _galgo_front.ORACLE_SQL["kg_triangles"],
 )
+register(
+    "kg_pagerank_personalized",
+    _galgo_front.kg_pagerank_personalized,
+    _galgo_front.ORACLE_SQL["kg_pagerank_personalized"],
+)
 
 # --- web-corpus curation: boilerplate-line scrub + URL canonicalization
 # (new r5 — keep first) ---

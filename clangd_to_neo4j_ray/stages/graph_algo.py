@@ -392,6 +392,15 @@ def kg_components(sf_dir: str) -> ray.data.Dataset:
 PR_SCALE = 1_000_000  # fixed-point PageRank scale (integer-exact oracle)
 PR_ITERS = 5  # fixed iteration count, unrolled identically in the oracle
 
+_COOC_PAIRS_CTES = """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
+{VOCAB},
+pairs AS (
+  SELECT DISTINCT a.tok AS w1, b.tok AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
+)"""
+
 
 def pagerank_ds(
     edges: ray.data.Dataset,
@@ -706,6 +715,222 @@ def pagerank_weighted_ds(
     )
 
 
+def pagerank_personalized_ds(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+) -> ray.data.Dataset:
+    """Personalized PageRank: teleport mass returns to the SEED set only —
+    the relevance-to-query statistic a graph-RAG retrieval layer ranks
+    expansion candidates with (the reference's 1-hop context subset,
+    ``code_graph_rag_generator.py`` J5, generalized to a damped
+    multi-hop).  Integer-exact: init = scale // |seeds| on seeds else 0;
+    each round pr(i) = seed_tele(i) + (85 * sum_{j->i} pr(j)//outdeg(j))
+    // 100 with seed_tele = (15 * (scale // |seeds|)) // 100 on seeds
+    else 0 — every floor identical in the unrolled oracle.
+
+    Same size gate and exchange shape as :func:`pagerank_ds`.  Output:
+    (node, pr_scaled); nodes unreachable from the seeds rank 0."""
+    from .joins import bucketed_join
+    from .shuffle import auto_num_buckets, distinct, grouped_agg
+
+    seed_sorted = sorted(set(seeds))
+    if not seed_sorted:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t[src_col], pa.string()),
+                "dst": pc.cast(t[dst_col], pa.string()),
+            }
+        )
+
+    pairs = distinct(
+        edges.map_batches(norm, batch_format="pyarrow"), ["src", "dst"]
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pc.unique(t["src"].combine_chunks()),
+                        pc.unique(t["dst"].combine_chunks()),
+                    ]
+                )
+            }
+        )
+
+    nodes = distinct(
+        pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"]
+    ).materialize()
+    n_nodes, n_edges = nodes.count(), pairs.count()
+    init = scale // len(seed_sorted)
+    tele = (15 * init) // 100
+    seed_arr = pa.array(seed_sorted, type=pa.string())
+
+    if n_nodes <= broadcast_threshold and n_edges <= broadcast_threshold:
+        node_list = sorted(r["node"] for r in nodes.take_all())
+        idx = {n: i for i, n in enumerate(node_list)}
+        src = np.empty(n_edges, dtype=np.int64)
+        dst = np.empty(n_edges, dtype=np.int64)
+        k = 0
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+                src[k], dst[k] = idx[s], idx[d]
+                k += 1
+        outdeg = np.bincount(src, minlength=n_nodes)
+        is_seed = np.array(
+            [n in set(seed_sorted) for n in node_list], dtype=bool
+        )
+        pr = np.where(is_seed, init, 0).astype(np.int64)
+        tele_vec = np.where(is_seed, tele, 0).astype(np.int64)
+        for _ in range(iters):
+            contrib = pr[src] // outdeg[src]
+            s = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(s, dst, contrib)
+            pr = tele_vec + (85 * s) // 100
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_list, type=pa.string()),
+                    "pr_scaled": pa.array(pr, type=pa.int64()),
+                }
+            )
+        )
+
+    deg = grouped_agg(pairs, ["src"], {"outdeg": ("src", "size")})
+    pairs_deg = bucketed_join(pairs, deg, on="src", how="inner").materialize()
+    state_blocks = auto_num_buckets(nodes)
+
+    def seeded(t: pa.Table, v_seed: int) -> pa.Table:
+        mask = pc.is_in(t["node"].combine_chunks(), value_set=seed_arr)
+        vals = pc.if_else(
+            mask, pa.scalar(v_seed, pa.int64()), pa.scalar(0, pa.int64())
+        )
+        return pa.table({"node": t["node"], "v": vals})
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    pr = nodes.map_batches(
+        lambda t: seeded(t, init), batch_format="pyarrow"
+    ).materialize()
+    for _ in range(iters):
+        joined = bucketed_join(
+            pairs_deg, pr, on="src", right_on="node", how="inner"
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            v = t["v"].to_numpy(zero_copy_only=False)
+            d = t["outdeg"].to_numpy(zero_copy_only=False)
+            out = pa.table(
+                {"node": t["dst"], "c": pa.array(v // d, type=pa.int64())}
+            )
+            return (
+                out.group_by("node")
+                .aggregate([("c", "sum")])
+                .rename_columns(["node", "c"])
+            )
+
+        sums = grouped_agg(
+            joined.map_batches(contrib, batch_format="pyarrow").union(zeros),
+            ["node"],
+            {"c": ("c", "sum")},
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["node"].combine_chunks(), value_set=seed_arr)
+            tele_col = pc.if_else(
+                mask, pa.scalar(tele, pa.int64()), pa.scalar(0, pa.int64())
+            )
+            c = t["c"].to_numpy(zero_copy_only=False)
+            damped = pa.array((85 * c) // 100, type=pa.int64())
+            return pa.table(
+                {"node": t["node"], "v": pc.add(tele_col, damped)}
+            )
+
+        pr = (
+            sums.map_batches(update, batch_format="pyarrow")
+            .repartition(state_blocks)
+            .materialize()
+        )
+    return pr.map_batches(
+        lambda t: pa.table({"node": t["node"], "pr_scaled": t["v"]}),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_personalized_oracle_sql(
+    seeds: list[str],
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    *,
+    graph_ctes: str = _COOC_PAIRS_CTES,
+    node_col: str = "name",
+) -> str:
+    """Unrolled personalized-PageRank CTE chain — identical integer
+    arithmetic to ``pagerank_personalized_ds``."""
+    seed_vals = ", ".join(f"('{s}')" for s in sorted(set(seeds)))
+    n_seeds = len(set(seeds))
+    init = f"({scale} // {n_seeds})"
+    tele = f"((15 * ({scale} // {n_seeds})) // 100)"
+    chain = ""
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        chain += f""",
+pr{i} AS (
+  SELECT nd.n,
+         CASE WHEN nd.n IN (SELECT s FROM seeds) THEN {tele} ELSE 0 END
+         + (85 * COALESCE(sm.c, 0)) // 100 AS v
+  FROM nodes nd LEFT JOIN (
+    SELECT p.w2 AS n, CAST(sum(x.v // d.outdeg) AS BIGINT) AS c
+    FROM pairs p JOIN {prev} x ON x.n = p.w1 JOIN deg d ON d.n = p.w1
+    GROUP BY p.w2
+  ) sm ON sm.n = nd.n
+)"""
+        prev = f"pr{i}"
+    return f"""
+WITH
+{graph_ctes},
+seeds AS (SELECT * FROM (VALUES {seed_vals}) s(s)),
+nodes AS (SELECT w1 AS n FROM pairs UNION SELECT w2 FROM pairs),
+deg AS (SELECT w1 AS n, CAST(count(*) AS BIGINT) AS outdeg FROM pairs GROUP BY w1),
+pr0 AS (
+  SELECT n, CASE WHEN n IN (SELECT s FROM seeds) THEN {init} ELSE 0 END AS v
+  FROM nodes){chain}
+SELECT n AS {node_col}, CAST(v AS BIGINT) AS pr_scaled FROM {prev}
+"""
+
+
+def kg_pagerank_personalized(sf_dir: str) -> ray.data.Dataset:
+    """Driver query: personalized PageRank of the entity co-occurrence
+    graph seeded at the head entity 'data' — the graph-RAG expansion
+    ranking for a query about that entity.  Output: (name, pr_scaled)."""
+    from ..pipelines.docs_kg import kg_triples
+
+    triples = kg_triples(sf_dir).select_columns(["subj_name", "obj_name"])
+    pr = pagerank_personalized_ds(
+        triples, ["data"], src_col="subj_name", dst_col="obj_name"
+    )
+    return pr.map_batches(
+        lambda t: pa.table({"name": t["node"], "pr_scaled": t["pr_scaled"]}),
+        batch_format="pyarrow",
+    )
+
+
 def pagerank_weighted_oracle_sql(
     iters: int = PR_ITERS,
     scale: int = PR_SCALE,
@@ -763,16 +988,6 @@ def kg_pagerank(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-
-
-_COOC_PAIRS_CTES = """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        generate_subscripts(string_split(text, ' '), 1) AS i FROM documents),
-{VOCAB},
-pairs AS (
-  SELECT DISTINCT a.tok AS w1, b.tok AS w2
-  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-  WHERE a.tok IN (SELECT name FROM vocab) AND b.tok IN (SELECT name FROM vocab)
-)"""
 
 
 def pagerank_oracle_sql(
@@ -1349,6 +1564,7 @@ reach(n, m) AS (
 SELECT n AS name, min(m) AS component FROM reach GROUP BY n
 """,
     "kg_pagerank": pagerank_oracle_sql(),
+    "kg_pagerank_personalized": pagerank_personalized_oracle_sql(["data"]),
     "kg_triangles": """
 WITH
 tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -387,3 +387,32 @@ def test_weighted_pagerank_multi_edges_sum():
         for r in pagerank_weighted_ds(single).take_all()
     }
     assert a == b
+
+
+def test_personalized_pagerank_both_paths_and_reachability():
+    """Forced-distributed PPR equals the driver kernel bit-for-bit; mass
+    concentrates at the seed, flows only along edges reachable from it,
+    and a disconnected component ranks exactly 0."""
+    from clangd_to_neo4j_ray.stages.graph_algo import pagerank_personalized_ds
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["s", "a", "x"],
+                "dst": ["a", "b", "y"],
+            }
+        )
+    )
+    drv = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank_personalized_ds(ds, ["s"]).take_all()
+    }
+    dist = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank_personalized_ds(
+            ds, ["s"], broadcast_threshold=0
+        ).take_all()
+    }
+    assert drv == dist
+    assert drv["s"] > drv["a"] > drv["b"] > 0
+    assert drv["x"] == 0 and drv["y"] == 0  # not reachable from the seed
