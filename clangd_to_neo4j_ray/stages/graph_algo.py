@@ -402,6 +402,205 @@ pairs AS (
 )"""
 
 
+def _pagerank_engine(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+    seeds: list[str] | None,
+    iters: int,
+    scale: int,
+    broadcast_threshold: int,
+) -> ray.data.Dataset:
+    """Shared fixed-point PageRank engine behind :func:`pagerank_ds`,
+    :func:`pagerank_weighted_ds` and :func:`pagerank_personalized_ds`.
+
+    One arithmetic covers all three variants (each floor identical to the
+    matching unrolled oracle):
+
+    - edge weight: ``weight_col`` given -> multi-edges SUM their weights
+      (one exchange) and each edge contributes ``(pr * w) // wsum(src)``;
+      absent -> the DISTINCT edge set with w = 1, i.e. ``pr // outdeg``.
+    - teleport: ``seeds`` given -> init/teleport mass only on the seed
+      set (scale // |seeds|); absent -> uniform (scale // n_nodes).
+
+    Size gate (the ``connected_components_ds`` pattern): a driver numpy
+    kernel when node and edge counts verify under ``broadcast_threshold``;
+    otherwise each round is two bounded bucketed exchanges (state joined
+    onto edges with a per-batch pre-sum combiner; per-destination sum
+    fused with a zero row per node so no left join is needed) — rank
+    state never lands on the driver.
+    """
+    from .joins import bucketed_join
+    from .shuffle import auto_num_buckets, distinct, grouped_agg
+
+    seed_sorted = sorted(set(seeds)) if seeds is not None else None
+    if seed_sorted is not None and not seed_sorted:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+
+    def norm(t: pa.Table) -> pa.Table:
+        cols = {
+            "src": pc.cast(t[src_col], pa.string()),
+            "dst": pc.cast(t[dst_col], pa.string()),
+        }
+        if weight_col is not None:
+            cols["w"] = pc.cast(t[weight_col], pa.int64())
+        return pa.table(cols)
+
+    normed = edges.map_batches(norm, batch_format="pyarrow")
+    if weight_col is None:
+        pairs = distinct(normed, ["src", "dst"]).map_batches(
+            lambda t: t.append_column(
+                "w", pa.array(np.ones(len(t), dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        pairs = grouped_agg(
+            normed, ["src", "dst"], {"w": ("w", "sum")}
+        ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pc.unique(t["src"].combine_chunks()),
+                        pc.unique(t["dst"].combine_chunks()),
+                    ]
+                )
+            }
+        )
+
+    nodes = distinct(
+        pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"]
+    ).materialize()
+    n_nodes, n_edges = nodes.count(), pairs.count()
+    init = scale // max(1, len(seed_sorted) if seed_sorted else n_nodes)
+    tele = (15 * init) // 100
+    seed_arr = (
+        pa.array(seed_sorted, type=pa.string()) if seed_sorted else None
+    )
+
+    if n_nodes <= broadcast_threshold and n_edges <= broadcast_threshold:
+        node_list = sorted(r["node"] for r in nodes.take_all())
+        idx = {n: i for i, n in enumerate(node_list)}
+        src = np.empty(n_edges, dtype=np.int64)
+        dst = np.empty(n_edges, dtype=np.int64)
+        w = np.empty(n_edges, dtype=np.int64)
+        k = 0
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            for s_, d_, w_ in zip(
+                b["src"].to_pylist(), b["dst"].to_pylist(), b["w"].to_pylist()
+            ):
+                src[k], dst[k], w[k] = idx[s_], idx[d_], w_
+                k += 1
+        wsum = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(wsum, src, w)
+        if seed_sorted is None:
+            pr = np.full(n_nodes, init, dtype=np.int64)
+            tele_vec = np.full(n_nodes, tele, dtype=np.int64)
+        else:
+            is_seed = np.array(
+                [n in set(seed_sorted) for n in node_list], dtype=bool
+            )
+            pr = np.where(is_seed, init, 0).astype(np.int64)
+            tele_vec = np.where(is_seed, tele, 0).astype(np.int64)
+        for _ in range(iters):
+            contrib = (pr[src] * w) // wsum[src]
+            s_ = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(s_, dst, contrib)
+            pr = tele_vec + (85 * s_) // 100
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_list, type=pa.string()),
+                    "pr_scaled": pa.array(pr, type=pa.int64()),
+                }
+            )
+        )
+
+    deg = grouped_agg(pairs, ["src"], {"wsum": ("w", "sum")})
+    pairs_deg = bucketed_join(pairs, deg, on="src", how="inner").materialize()
+    # bound the rank state's block count per round (see the block-growth
+    # note in connected_components_ds)
+    state_blocks = auto_num_buckets(nodes)
+
+    def tele_column(t: pa.Table) -> pa.Array:
+        if seed_arr is None:
+            return pa.array(np.full(len(t), tele, dtype=np.int64))
+        mask = pc.is_in(t["node"].combine_chunks(), value_set=seed_arr)
+        return pc.if_else(
+            mask, pa.scalar(tele, pa.int64()), pa.scalar(0, pa.int64())
+        )
+
+    def init_state(t: pa.Table) -> pa.Table:
+        if seed_arr is None:
+            vals = pa.array(np.full(len(t), init, dtype=np.int64))
+        else:
+            mask = pc.is_in(t["node"].combine_chunks(), value_set=seed_arr)
+            vals = pc.if_else(
+                mask, pa.scalar(init, pa.int64()), pa.scalar(0, pa.int64())
+            )
+        return pa.table({"node": t["node"], "v": vals})
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    pr = nodes.map_batches(init_state, batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        joined = bucketed_join(
+            pairs_deg, pr, on="src", right_on="node", how="inner"
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            v = t["v"].to_numpy(zero_copy_only=False)
+            wt = t["w"].to_numpy(zero_copy_only=False)
+            ws = t["wsum"].to_numpy(zero_copy_only=False)
+            out = pa.table(
+                {
+                    "node": t["dst"],
+                    "c": pa.array((v * wt) // ws, type=pa.int64()),
+                }
+            )
+            # per-batch pre-sum combiner before the exchange
+            return (
+                out.group_by("node")
+                .aggregate([("c", "sum")])
+                .rename_columns(["node", "c"])
+            )
+
+        sums = grouped_agg(
+            joined.map_batches(contrib, batch_format="pyarrow").union(zeros),
+            ["node"],
+            {"c": ("c", "sum")},
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False)
+            damped = pa.array((85 * c) // 100, type=pa.int64())
+            return pa.table(
+                {"node": t["node"], "v": pc.add(tele_column(t), damped)}
+            )
+
+        pr = (
+            sums.map_batches(update, batch_format="pyarrow")
+            .repartition(state_blocks)
+            .materialize()
+        )
+    return pr.map_batches(
+        lambda t: pa.table({"node": t["node"], "pr_scaled": t["v"]}),
+        batch_format="pyarrow",
+    )
+
+
 def pagerank_ds(
     edges: ray.data.Dataset,
     *,
@@ -419,143 +618,16 @@ def pagerank_ds(
     pr(i) = (15 * init) // 100 + (85 * sum_{j->i} (pr(j) // outdeg(j))) // 100
     — the damping split and both floor divisions are identical on both
     sides (dangling-node mass is dropped, not redistributed: a defined,
-    documented variant chosen for exact reproducibility).
-
-    Size-gated like ``connected_components_ds``: driver numpy when node
-    and edge counts verify under ``broadcast_threshold``; otherwise each
-    round is two bucketed exchanges (contribution join keyed on source;
-    per-destination sum fused with a zero row per node so no left join is
-    needed) — rank state never lands on the driver.
-    """
-    from .joins import bucketed_join
-    from .shuffle import distinct, grouped_agg
-
-    def norm(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": pc.cast(t[src_col], pa.string()),
-                "dst": pc.cast(t[dst_col], pa.string()),
-            }
-        )
-
-    pairs = distinct(
-        edges.map_batches(norm, batch_format="pyarrow"), ["src", "dst"]
-    ).materialize()
-
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [
-                        pc.unique(t["src"].combine_chunks()),
-                        pc.unique(t["dst"].combine_chunks()),
-                    ]
-                )
-            }
-        )
-
-    nodes = distinct(
-        pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"]
-    ).materialize()
-    n_nodes, n_edges = nodes.count(), pairs.count()
-    init = scale // max(1, n_nodes)
-    tele = (15 * init) // 100
-
-    if n_nodes <= broadcast_threshold and n_edges <= broadcast_threshold:
-        node_list = sorted(r["node"] for r in nodes.take_all())
-        idx = {n: i for i, n in enumerate(node_list)}
-        src = np.empty(n_edges, dtype=np.int64)
-        dst = np.empty(n_edges, dtype=np.int64)
-        k = 0
-        for b in pairs.iter_batches(batch_format="pyarrow"):
-            for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
-                src[k], dst[k] = idx[s], idx[d]
-                k += 1
-        outdeg = np.bincount(src, minlength=n_nodes)
-        pr = np.full(n_nodes, init, dtype=np.int64)
-        for _ in range(iters):
-            contrib = pr[src] // outdeg[src]
-            s = np.bincount(dst, weights=contrib, minlength=n_nodes).astype(
-                np.int64
-            )
-            pr = tele + (85 * s) // 100
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "node": pa.array(node_list, type=pa.string()),
-                    "pr_scaled": pa.array(pr, type=pa.int64()),
-                }
-            )
-        )
-
-    from .shuffle import auto_num_buckets
-
-    deg = grouped_agg(pairs, ["src"], {"outdeg": ("src", "size")})
-    pairs_deg = bucketed_join(
-        pairs, deg, on="src", how="inner"
-    ).materialize()
-    # bound the rank state's block count per round (see the block-growth
-    # note in connected_components_ds)
-    state_blocks = auto_num_buckets(nodes)
-    zeros = nodes.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["node"],
-                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    pr = nodes.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["node"],
-                "v": pa.array(np.full(len(t), init, dtype=np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    for _ in range(iters):
-        joined = bucketed_join(
-            pairs_deg, pr, on="src", right_on="node", how="inner"
-        )
-
-        def contrib(t: pa.Table) -> pa.Table:
-            v = t["v"].to_numpy(zero_copy_only=False)
-            d = t["outdeg"].to_numpy(zero_copy_only=False)
-            out = pa.table(
-                {"node": t["dst"], "c": pa.array(v // d, type=pa.int64())}
-            )
-            # per-batch pre-sum combiner before the exchange
-            return (
-                out.group_by("node")
-                .aggregate([("c", "sum")])
-                .rename_columns(["node", "c"])
-            )
-
-        sums = grouped_agg(
-            joined.map_batches(contrib, batch_format="pyarrow").union(zeros),
-            ["node"],
-            {"c": ("c", "sum")},
-        )
-
-        def update(t: pa.Table) -> pa.Table:
-            c = t["c"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "node": t["node"],
-                    "v": pa.array(tele + (85 * c) // 100, type=pa.int64()),
-                }
-            )
-
-        pr = (
-            sums.map_batches(update, batch_format="pyarrow")
-            .repartition(state_blocks)
-            .materialize()
-        )
-    return pr.map_batches(
-        lambda t: pa.table({"node": t["node"], "pr_scaled": t["v"]}),
-        batch_format="pyarrow",
+    documented variant chosen for exact reproducibility)."""
+    return _pagerank_engine(
+        edges,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=None,
+        seeds=None,
+        iters=iters,
+        scale=scale,
+        broadcast_threshold=broadcast_threshold,
     )
 
 
@@ -569,149 +641,21 @@ def pagerank_weighted_ds(
     scale: int = PR_SCALE,
     broadcast_threshold: int = BROADCAST_THRESHOLD,
 ) -> ray.data.Dataset:
-    """Weighted PageRank: link multiplicities steer the mass split.
-
-    Same fixed-point discipline as :func:`pagerank_ds` (init, damping,
-    floor divisions, dropped dangling mass), with the per-edge
-    contribution ``(pr(j) * w_ji) // wsum(j)`` — each floor applied
-    per edge on both sides so the oracle reproduces every bit.
-    Multi-edges in the input sum their weights (one exchange).  int64
-    headroom: pr * w <= scale * max edge weight — fine through ~1e12
-    total link count per pair.
+    """Weighted PageRank: link multiplicities steer the mass split with
+    per-edge ``(pr(j) * w_ji) // wsum(j)`` floors; multi-edges in the
+    input sum their weights first.  int64 headroom: pr * w <= scale * max
+    edge weight — fine through ~1e12 total link count per pair.
 
     Output: (node, pr_scaled)."""
-    from .joins import bucketed_join
-    from .shuffle import auto_num_buckets, distinct, grouped_agg
-
-    def norm(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": pc.cast(t[src_col], pa.string()),
-                "dst": pc.cast(t[dst_col], pa.string()),
-                "w": pc.cast(t[weight_col], pa.int64()),
-            }
-        )
-
-    pairs = grouped_agg(
-        edges.map_batches(norm, batch_format="pyarrow"),
-        ["src", "dst"],
-        {"w": ("w", "sum")},
-    ).materialize()
-
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [
-                        pc.unique(t["src"].combine_chunks()),
-                        pc.unique(t["dst"].combine_chunks()),
-                    ]
-                )
-            }
-        )
-
-    nodes = distinct(
-        pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"]
-    ).materialize()
-    n_nodes, n_edges = nodes.count(), pairs.count()
-    init = scale // max(1, n_nodes)
-    tele = (15 * init) // 100
-
-    if n_nodes <= broadcast_threshold and n_edges <= broadcast_threshold:
-        node_list = sorted(r["node"] for r in nodes.take_all())
-        idx = {n: i for i, n in enumerate(node_list)}
-        src = np.empty(n_edges, dtype=np.int64)
-        dst = np.empty(n_edges, dtype=np.int64)
-        w = np.empty(n_edges, dtype=np.int64)
-        k = 0
-        for b in pairs.iter_batches(batch_format="pyarrow"):
-            for s, d, wt in zip(
-                b["src"].to_pylist(), b["dst"].to_pylist(), b["w"].to_pylist()
-            ):
-                src[k], dst[k], w[k] = idx[s], idx[d], wt
-                k += 1
-        wsum = np.zeros(n_nodes, dtype=np.int64)
-        np.add.at(wsum, src, w)
-        pr = np.full(n_nodes, init, dtype=np.int64)
-        for _ in range(iters):
-            contrib = (pr[src] * w) // wsum[src]
-            s = np.zeros(n_nodes, dtype=np.int64)
-            np.add.at(s, dst, contrib)
-            pr = tele + (85 * s) // 100
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "node": pa.array(node_list, type=pa.string()),
-                    "pr_scaled": pa.array(pr, type=pa.int64()),
-                }
-            )
-        )
-
-    deg = grouped_agg(pairs, ["src"], {"wsum": ("w", "sum")})
-    pairs_deg = bucketed_join(pairs, deg, on="src", how="inner").materialize()
-    state_blocks = auto_num_buckets(nodes)
-    zeros = nodes.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["node"],
-                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    pr = nodes.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["node"],
-                "v": pa.array(np.full(len(t), init, dtype=np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    for _ in range(iters):
-        joined = bucketed_join(
-            pairs_deg, pr, on="src", right_on="node", how="inner"
-        )
-
-        def contrib(t: pa.Table) -> pa.Table:
-            v = t["v"].to_numpy(zero_copy_only=False)
-            wt = t["w"].to_numpy(zero_copy_only=False)
-            ws = t["wsum"].to_numpy(zero_copy_only=False)
-            out = pa.table(
-                {
-                    "node": t["dst"],
-                    "c": pa.array((v * wt) // ws, type=pa.int64()),
-                }
-            )
-            return (
-                out.group_by("node")
-                .aggregate([("c", "sum")])
-                .rename_columns(["node", "c"])
-            )
-
-        sums = grouped_agg(
-            joined.map_batches(contrib, batch_format="pyarrow").union(zeros),
-            ["node"],
-            {"c": ("c", "sum")},
-        )
-
-        def update(t: pa.Table) -> pa.Table:
-            c = t["c"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "node": t["node"],
-                    "v": pa.array(tele + (85 * c) // 100, type=pa.int64()),
-                }
-            )
-
-        pr = (
-            sums.map_batches(update, batch_format="pyarrow")
-            .repartition(state_blocks)
-            .materialize()
-        )
-    return pr.map_batches(
-        lambda t: pa.table({"node": t["node"], "pr_scaled": t["v"]}),
-        batch_format="pyarrow",
+    return _pagerank_engine(
+        edges,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=weight_col,
+        seeds=None,
+        iters=iters,
+        scale=scale,
+        broadcast_threshold=broadcast_threshold,
     )
 
 
@@ -729,147 +673,18 @@ def pagerank_personalized_ds(
     the relevance-to-query statistic a graph-RAG retrieval layer ranks
     expansion candidates with (the reference's 1-hop context subset,
     ``code_graph_rag_generator.py`` J5, generalized to a damped
-    multi-hop).  Integer-exact: init = scale // |seeds| on seeds else 0;
-    each round pr(i) = seed_tele(i) + (85 * sum_{j->i} pr(j)//outdeg(j))
-    // 100 with seed_tele = (15 * (scale // |seeds|)) // 100 on seeds
-    else 0 — every floor identical in the unrolled oracle.
-
-    Same size gate and exchange shape as :func:`pagerank_ds`.  Output:
-    (node, pr_scaled); nodes unreachable from the seeds rank 0."""
-    from .joins import bucketed_join
-    from .shuffle import auto_num_buckets, distinct, grouped_agg
-
-    seed_sorted = sorted(set(seeds))
-    if not seed_sorted:
-        raise ValueError("personalized pagerank needs a non-empty seed set")
-
-    def norm(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": pc.cast(t[src_col], pa.string()),
-                "dst": pc.cast(t[dst_col], pa.string()),
-            }
-        )
-
-    pairs = distinct(
-        edges.map_batches(norm, batch_format="pyarrow"), ["src", "dst"]
-    ).materialize()
-
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [
-                        pc.unique(t["src"].combine_chunks()),
-                        pc.unique(t["dst"].combine_chunks()),
-                    ]
-                )
-            }
-        )
-
-    nodes = distinct(
-        pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"]
-    ).materialize()
-    n_nodes, n_edges = nodes.count(), pairs.count()
-    init = scale // len(seed_sorted)
-    tele = (15 * init) // 100
-    seed_arr = pa.array(seed_sorted, type=pa.string())
-
-    if n_nodes <= broadcast_threshold and n_edges <= broadcast_threshold:
-        node_list = sorted(r["node"] for r in nodes.take_all())
-        idx = {n: i for i, n in enumerate(node_list)}
-        src = np.empty(n_edges, dtype=np.int64)
-        dst = np.empty(n_edges, dtype=np.int64)
-        k = 0
-        for b in pairs.iter_batches(batch_format="pyarrow"):
-            for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
-                src[k], dst[k] = idx[s], idx[d]
-                k += 1
-        outdeg = np.bincount(src, minlength=n_nodes)
-        is_seed = np.array(
-            [n in set(seed_sorted) for n in node_list], dtype=bool
-        )
-        pr = np.where(is_seed, init, 0).astype(np.int64)
-        tele_vec = np.where(is_seed, tele, 0).astype(np.int64)
-        for _ in range(iters):
-            contrib = pr[src] // outdeg[src]
-            s = np.zeros(n_nodes, dtype=np.int64)
-            np.add.at(s, dst, contrib)
-            pr = tele_vec + (85 * s) // 100
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "node": pa.array(node_list, type=pa.string()),
-                    "pr_scaled": pa.array(pr, type=pa.int64()),
-                }
-            )
-        )
-
-    deg = grouped_agg(pairs, ["src"], {"outdeg": ("src", "size")})
-    pairs_deg = bucketed_join(pairs, deg, on="src", how="inner").materialize()
-    state_blocks = auto_num_buckets(nodes)
-
-    def seeded(t: pa.Table, v_seed: int) -> pa.Table:
-        mask = pc.is_in(t["node"].combine_chunks(), value_set=seed_arr)
-        vals = pc.if_else(
-            mask, pa.scalar(v_seed, pa.int64()), pa.scalar(0, pa.int64())
-        )
-        return pa.table({"node": t["node"], "v": vals})
-
-    zeros = nodes.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["node"],
-                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    pr = nodes.map_batches(
-        lambda t: seeded(t, init), batch_format="pyarrow"
-    ).materialize()
-    for _ in range(iters):
-        joined = bucketed_join(
-            pairs_deg, pr, on="src", right_on="node", how="inner"
-        )
-
-        def contrib(t: pa.Table) -> pa.Table:
-            v = t["v"].to_numpy(zero_copy_only=False)
-            d = t["outdeg"].to_numpy(zero_copy_only=False)
-            out = pa.table(
-                {"node": t["dst"], "c": pa.array(v // d, type=pa.int64())}
-            )
-            return (
-                out.group_by("node")
-                .aggregate([("c", "sum")])
-                .rename_columns(["node", "c"])
-            )
-
-        sums = grouped_agg(
-            joined.map_batches(contrib, batch_format="pyarrow").union(zeros),
-            ["node"],
-            {"c": ("c", "sum")},
-        )
-
-        def update(t: pa.Table) -> pa.Table:
-            mask = pc.is_in(t["node"].combine_chunks(), value_set=seed_arr)
-            tele_col = pc.if_else(
-                mask, pa.scalar(tele, pa.int64()), pa.scalar(0, pa.int64())
-            )
-            c = t["c"].to_numpy(zero_copy_only=False)
-            damped = pa.array((85 * c) // 100, type=pa.int64())
-            return pa.table(
-                {"node": t["node"], "v": pc.add(tele_col, damped)}
-            )
-
-        pr = (
-            sums.map_batches(update, batch_format="pyarrow")
-            .repartition(state_blocks)
-            .materialize()
-        )
-    return pr.map_batches(
-        lambda t: pa.table({"node": t["node"], "pr_scaled": t["v"]}),
-        batch_format="pyarrow",
+    multi-hop).  init = scale // |seeds| on seeds else 0; teleport only
+    on seeds.  Output: (node, pr_scaled); nodes unreachable from the
+    seeds rank 0."""
+    return _pagerank_engine(
+        edges,
+        src_col=src_col,
+        dst_col=dst_col,
+        weight_col=None,
+        seeds=seeds,
+        iters=iters,
+        scale=scale,
+        broadcast_threshold=broadcast_threshold,
     )
 
 
