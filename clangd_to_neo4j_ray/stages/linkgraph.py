@@ -355,23 +355,34 @@ def host_profiles(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    def degree_rows(batch: pa.Table) -> pa.Table:
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        # tag each edge once per endpoint straight into the profile schema
+        # — the degree rollup folds inside the profile exchange instead of
+        # paying its own (one fewer sequential exchange, measured ~1 s)
         n = len(batch)
         zeros = pa.array([0] * n, type=pa.int64())
-        return pa.table(
+        out = pa.table(
             {
-                "host": batch["host"],
+                "host": batch["src_host"],
                 "n_pages": zeros,
                 "n_tokens": zeros,
-                "in_links": batch["in_links"],
-                "out_links": batch["out_links"],
+                "in_links": zeros,
+                "out_links": batch["n_links"],
             }
         )
+        inn = pa.table(
+            {
+                "host": batch["dst_host"],
+                "n_pages": zeros,
+                "n_tokens": zeros,
+                "in_links": batch["n_links"],
+                "out_links": zeros,
+            }
+        )
+        return pa.concat_tables([out, inn])
 
     tagged = ds.map_batches(content_partials, batch_format="pyarrow").union(
-        link_host_degrees(sf_dir).map_batches(
-            degree_rows, batch_format="pyarrow"
-        )
+        web_link_graph(sf_dir).map_batches(edge_rows, batch_format="pyarrow")
     )
     return grouped_agg(
         tagged,
