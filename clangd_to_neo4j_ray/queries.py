@@ -66,6 +66,11 @@ register(
 register(
     "bpe_pair_counts", _text.bpe_pair_counts, _text.ORACLE_SQL["bpe_pair_counts"]
 )
+register(
+    "bigram_collocations",
+    _text.bigram_collocations,
+    _text.ORACLE_SQL["bigram_collocations"],
+)
 register("rag_chunks", _text.rag_chunks, _text.ORACLE_SQL["rag_chunks"])
 register(
     "dedup_cluster_quality",

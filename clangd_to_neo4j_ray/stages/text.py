@@ -233,6 +233,94 @@ def bpe_pair_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+COLLOC_MIN_COUNT = 5  # bigrams below this support are noise, dropped
+
+
+def bigram_collocations(sf_dir: str) -> ray.data.Dataset:
+    """Collocation mining: adjacent token pairs ranked by integer lift —
+    ``lift_permille = (1000 * n_xy * N) // (n_x * n_y)`` (the
+    pointwise-mutual-information family with the log dropped so the
+    measure is integer-exact against the SQL oracle; the ORDERING over
+    candidates is identical to PMI's).  Output: (w1, w2, n_xy,
+    lift_permille) for pairs with support >= COLLOC_MIN_COUNT — the
+    phrase-detection statistic a tokenizer/vocabulary pipeline computes
+    (Mikolov et al. 2013 phrase scoring uses exactly this shape).
+
+    Plan: ONE scan emits per-batch bigram partials; one bucketed exchange
+    sums them.  Unigram totals are vocabulary-bounded, so they fold in a
+    second tiny exchange and broadcast via ``ray.put`` into a vectorized
+    per-batch lift kernel (the small-side lookup pattern).  int64
+    headroom: 1000 * n_xy * N — rescale the permille factor down past
+    ~1e12 total tokens (disclosed)."""
+    import ray as _ray
+
+    from ..functions.duck import sql_over
+    from .shuffle import grouped_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            """WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM b),
+            bg AS (
+              SELECT a.tok AS w1, c.tok AS w2
+              FROM tok a JOIN tok c
+                ON a.doc_id = c.doc_id AND c.i = a.i + 1)
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+            FROM bg GROUP BY w1, w2""",
+            b=batch,
+        )
+
+    bigrams = grouped_agg(
+        ds.map_batches(bigram_partials, batch_format="pyarrow"),
+        ["w1", "w2"],
+        {"n_xy": ("n_xy", "sum")},
+    )
+
+    def unigram_partials(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+                 SELECT unnest(string_split(text, ' ')) AS tok FROM b)
+               GROUP BY tok""",
+            b=batch,
+        )
+
+    unigrams = grouped_agg(
+        ds.map_batches(unigram_partials, batch_format="pyarrow"),
+        ["tok"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    counts = dict(zip(unigrams["tok"], unigrams["n"]))
+    total = int(unigrams["n"].sum())
+    ref = _ray.put(counts)
+
+    def lift(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        c = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        keep = pc.greater_equal(
+            t["n_xy"], pa.scalar(COLLOC_MIN_COUNT, pa.int64())
+        )
+        t = t.filter(keep)
+        n_xy = t["n_xy"].to_numpy(zero_copy_only=False)
+        n_x = _np.array([c[w] for w in t["w1"].to_pylist()], dtype=_np.int64)
+        n_y = _np.array([c[w] for w in t["w2"].to_pylist()], dtype=_np.int64)
+        permille = (1000 * n_xy * total) // (n_x * n_y)
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "n_xy": t["n_xy"],
+                "lift_permille": pa.array(permille, type=pa.int64()),
+            }
+        )
+
+    return bigrams.map_batches(lift, batch_format="pyarrow")
+
+
 def text_repetition(sf_dir: str) -> ray.data.Dataset:
     """Repetition-based quality stats (the Gopher/C4 duplicate-n-gram rule
     family): per-document 2-gram duplication, integer-exact.
@@ -512,6 +600,24 @@ r AS (
   FROM cnt
 )
 SELECT source, tok, n FROM r WHERE rk <= {VOCAB_K}
+""",
+    "bigram_collocations": f"""
+WITH {_SQL_TOK},
+bg AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+       FROM bg GROUP BY w1, w2),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS N FROM tok)
+SELECT bc.w1, bc.w2, bc.n_xy,
+       CAST((1000 * bc.n_xy * tot.N) // (ux.n * uy.n) AS BIGINT)
+         AS lift_permille
+FROM bc
+JOIN uni ux ON ux.tok = bc.w1
+JOIN uni uy ON uy.tok = bc.w2
+CROSS JOIN tot
+WHERE bc.n_xy >= {COLLOC_MIN_COUNT}
 """,
     "bpe_pair_counts": f"""
 WITH {_SQL_TOK},

@@ -184,3 +184,38 @@ def test_vocab_top_tokens_k_prefix(sf_dir):
     for src, rs in got.items():
         assert rs == by_src[src][:5]
         assert all(n >= 1 for _, n in rs)
+
+
+def test_bigram_collocations_matches_oracle(ray_session, sf_dir):
+    from clangd_to_neo4j_ray.stages import text as _text
+
+    from .util import assert_matches_oracle
+
+    assert_matches_oracle(
+        _text.bigram_collocations(sf_dir),
+        _text.ORACLE_SQL["bigram_collocations"],
+        sf_dir,
+    )
+
+
+def test_bigram_collocations_lift_arithmetic(ray_session, sf_dir):
+    """lift_permille recomputes exactly from independent DuckDB unigram /
+    total counts, and the support floor holds."""
+    from clangd_to_neo4j_ray.stages import text as _text
+
+    from .util import duckdb_con, to_pandas
+
+    df = to_pandas(_text.bigram_collocations(sf_dir))
+    assert (df["n_xy"] >= _text.COLLOC_MIN_COUNT).all()
+    con = duckdb_con(sf_dir)
+    uni = dict(
+        con.sql(
+            "SELECT tok, count(*) FROM (SELECT unnest(string_split(text, ' '))"
+            " AS tok FROM documents) GROUP BY tok"
+        ).fetchall()
+    )
+    total = sum(uni.values())
+    con.close()
+    for _, r in df.head(25).iterrows():
+        expect = (1000 * r["n_xy"] * total) // (uni[r["w1"]] * uni[r["w2"]])
+        assert r["lift_permille"] == expect
