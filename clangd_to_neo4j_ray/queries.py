@@ -159,6 +159,11 @@ register(
     _lg.ORACLE_SQL["anchor_entity_links"],
 )
 register("url_frontier", _lg.url_frontier, _lg.ORACLE_SQL["url_frontier"])
+register(
+    "link_graph_delta",
+    _lg.link_graph_delta,
+    _lg.ORACLE_SQL["link_graph_delta"],
+)
 register("host_profiles", _lg.host_profiles, _lg.ORACLE_SQL["host_profiles"])
 
 # --- deterministic dataset splitting + decontamination (r5: new full

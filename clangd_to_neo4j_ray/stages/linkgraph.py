@@ -396,6 +396,89 @@ def host_profiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def link_graph_delta(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-to-crawl LINK delta: host edges that appeared, disappeared,
+    or changed weight between snapshot A (documents) and snapshot B
+    (the deterministic synthetic successor shared with ``crawl_delta``) —
+    the incremental KG-maintenance statement of §3.2 applied to the edge
+    table (the reference recomputes only dirty includes,
+    ``compilation_manager.py`` D7).
+
+    Output: (src_host, dst_host, n_links_a, n_links_b, status) for
+    status in {added, removed, changed}; unchanged edges are dropped.
+
+    Plan: each snapshot's fused synthesize+extract scan emits
+    side-tagged edge partials; ONE grouped exchange folds both sides per
+    edge (the crawl_delta presence-fold — no join operator), then a
+    vectorized status kernel filters the dirty set."""
+    from ..stages.webcorpus import SNAPSHOT_B_CTES
+    from .shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def tag(edges: pa.Table, side: str) -> pa.Table:
+        n = len(edges)
+        zeros = pa.array([0] * n, type=pa.int64())
+        return pa.table(
+            {
+                "src_host": edges["src_host"],
+                "dst_host": edges["dst_host"],
+                "n_links_a": edges["n_links"] if side == "a" else zeros,
+                "n_links_b": edges["n_links"] if side == "b" else zeros,
+            }
+        )
+
+    def a_partials(batch: pa.Table) -> pa.Table:
+        return tag(doc_link_partials(batch), "a")
+
+    def b_partials(batch: pa.Table) -> pa.Table:
+        snap = sql_over(
+            f"""WITH a AS (SELECT * FROM t), {SNAPSHOT_B_CTES}
+            SELECT doc_id, text, source FROM b""",
+            t=batch,
+        )
+        return tag(doc_link_partials(snap), "b")
+
+    tagged = ds.map_batches(a_partials, batch_format="pyarrow").union(
+        ds.map_batches(b_partials, batch_format="pyarrow")
+    )
+    folded = grouped_agg(
+        tagged,
+        ["src_host", "dst_host"],
+        {"n_links_a": ("n_links_a", "sum"), "n_links_b": ("n_links_b", "sum")},
+    )
+
+    def status(t: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        a = t["n_links_a"]
+        b = t["n_links_b"]
+        st = pc.if_else(
+            pc.equal(a, zero),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.equal(b, zero),
+                pa.scalar("removed"),
+                pc.if_else(
+                    pc.not_equal(a, b), pa.scalar("changed"), pa.scalar("")
+                ),
+            ),
+        )
+        keep = pc.not_equal(st, pa.scalar(""))
+        return pa.table(
+            {
+                "src_host": t["src_host"].filter(keep),
+                "dst_host": t["dst_host"].filter(keep),
+                "n_links_a": a.filter(keep),
+                "n_links_b": b.filter(keep),
+                "status": st.filter(keep),
+            }
+        )
+
+    return folded.map_batches(status, batch_format="pyarrow")
+
+
 # full-URL resolution for frontier generation: absolute hrefs pass
 # through, scheme-relative gain https, site-root-relative resolve against
 # the page's own host (shared verbatim with the oracle)
@@ -664,6 +747,34 @@ FROM o FULL OUTER JOIN i ON o.host = i.host
 }
 
 
+def _install_delta_oracle() -> None:
+    from .webcorpus import SNAPSHOT_B_CTES
+
+    ORACLE_SQL["link_graph_delta"] = f"""
+WITH
+ea AS (WITH {_ORACLE_PAGES},
+{_EXTRACT_CTES}
+{_EDGE_SELECT}),
+eb AS (WITH a AS (SELECT doc_id, text, source FROM documents),
+{SNAPSHOT_B_CTES},
+pages_s AS (
+  SELECT {_PAGE_HOST_EXPR} AS page_host, {_HTML_EXPR} AS html_str FROM b),
+{_EXTRACT_CTES}
+{_EDGE_SELECT})
+SELECT coalesce(ea.src_host, eb.src_host) AS src_host,
+       coalesce(ea.dst_host, eb.dst_host) AS dst_host,
+       CAST(coalesce(ea.n_links, 0) AS BIGINT) AS n_links_a,
+       CAST(coalesce(eb.n_links, 0) AS BIGINT) AS n_links_b,
+       CASE WHEN ea.src_host IS NULL THEN 'added'
+            WHEN eb.src_host IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM ea FULL OUTER JOIN eb
+  ON ea.src_host = eb.src_host AND ea.dst_host = eb.dst_host
+WHERE ea.src_host IS NULL OR eb.src_host IS NULL
+   OR ea.n_links <> eb.n_links
+"""
+
+
 def _install_rank_oracles() -> None:
     from .graph_algo import (
         hits_oracle_sql,
@@ -700,3 +811,4 @@ pairs AS (SELECT src_host AS w1, dst_host AS w2, n_links AS w FROM e)"""
 
 
 _install_rank_oracles()
+_install_delta_oracle()

@@ -285,20 +285,32 @@ def url_dedup(sf_dir: str) -> ray.data.Dataset:
 
 # -- crawl snapshot diff ------------------------------------------------------
 
-# snapshot B, synthesized deterministically from snapshot A (= documents):
-# doc_id % 10 == 3 removed, % 10 == 7 content-changed, and for % 10 == 0 a
-# brand-new page (doc_id + 1000000) appears.  Shared verbatim with the
-# oracle.
+# snapshot B, synthesized deterministically from snapshot A (= documents,
+# a(doc_id, text, source)): (doc_id // 7) % 10 == 3 removed, == 7
+# content-changed, and for == 0 a brand-new page (doc_id + 1000000) on a
+# brand-new host appears.  The selector is (doc_id // 7) % 10 — NOT
+# doc_id % 10, which aligns perfectly with the 20-source assignment and
+# degenerates the delta classes (whole sources vanish instead of
+# individual pages, so the link delta never sees a 'changed' edge).
+# Shared verbatim with the oracles (crawl_delta AND the link-graph
+# delta).
 SNAPSHOT_B_CTES = """b_kept AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 10 = 7 THEN text || ' updated' ELSE text END
-           AS text
-  FROM a WHERE doc_id % 10 <> 3),
+         CASE WHEN (doc_id // 7) % 10 = 7 THEN text || ' updated'
+              ELSE text END AS text,
+         source
+  -- per-page removals ((doc_id // 7) selector) plus one whole host going
+  -- offline (src19): the former turns shared edges 'changed', the latter
+  -- yields pure 'removed' edges
+  FROM a WHERE (doc_id // 7) % 10 <> 3 AND source <> 'src19'),
 b AS (
-  SELECT doc_id, text FROM b_kept
+  SELECT doc_id, text, source FROM b_kept
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, 'new page ' || doc_id AS text
-  FROM a WHERE doc_id % 10 = 0)"""
+  -- new pages arrive on a brand-new host (source || 'new') so the edge
+  -- delta exercises its 'added' class, not just removed/changed
+  SELECT doc_id + 1000000 AS doc_id, 'new page ' || doc_id AS text,
+         source || 'new' AS source
+  FROM a WHERE (doc_id // 7) % 10 = 0)"""
 
 
 def crawl_delta(sf_dir: str) -> ray.data.Dataset:
@@ -320,7 +332,7 @@ def crawl_delta(sf_dir: str) -> ray.data.Dataset:
     from ..functions.duck import md5_hex_arrow
     from .shuffle import grouped_agg
 
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text", "source"])
 
     def a_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -425,7 +437,7 @@ SELECT doc_id,
 FROM tagged GROUP BY doc_id
 """,
     "crawl_delta": f"""
-WITH a AS (SELECT doc_id, text FROM documents),
+WITH a AS (SELECT doc_id, text, source FROM documents),
 {SNAPSHOT_B_CTES},
 fa AS (SELECT doc_id, md5(text) AS fp FROM a),
 fb AS (SELECT doc_id, md5(text) AS fp FROM b)

@@ -177,3 +177,27 @@ def test_host_profiles_pure_targets_and_sources(ray_session):
     content = df[df.index.str.endswith(".example.com")]
     assert (content["n_pages"] > 0).all() and (content["out_links"] > 0).all()
     assert (content["n_tokens"] > 0).all()
+
+
+def test_link_graph_delta_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.link_graph_delta(SF), lg.ORACLE_SQL["link_graph_delta"], SF
+    )
+
+
+def test_link_graph_delta_all_classes(ray_session):
+    """The edge delta exercises all three classes: new-host pages yield
+    'added', per-page removals on shared edges yield 'changed', and the
+    offline host (src19) yields pure 'removed' edges."""
+    df = to_pandas(lg.link_graph_delta(SF))
+    classes = set(df["status"])
+    assert classes == {"added", "removed", "changed"}
+    rm = df[df["status"] == "removed"]
+    assert (rm["src_host"] == "src19.example.com").all()
+    assert (rm["n_links_b"] == 0).all() and (rm["n_links_a"] > 0).all()
+    ad = df[df["status"] == "added"]
+    assert (ad["n_links_a"] == 0).all() and (ad["n_links_b"] > 0).all()
+    assert ad["src_host"].str.endswith("new.example.com").all()
+    ch = df[df["status"] == "changed"]
+    assert (ch["n_links_a"] != ch["n_links_b"]).all()
+    assert (ch["n_links_a"] > 0).all() and (ch["n_links_b"] > 0).all()

@@ -161,17 +161,30 @@ def test_crawl_delta_matches_oracle(ray_session):
 
 
 def test_crawl_delta_status_classes(ray_session):
-    """Exactly the synthesized dirty set comes out: %10==3 removed,
-    %10==7 changed, one added page (id+1000000) per %10==0 doc — and
-    nothing else (unchanged pages never surface)."""
+    """Exactly the synthesized dirty set comes out ((doc_id // 7) % 10
+    selectors — decorrelated from the source assignment): ==3 removed,
+    ==7 changed, one added page (id+1000000) per ==0 doc — and nothing
+    else (unchanged pages never surface)."""
     df = to_pandas(wc.crawl_delta(SF))
     by = {s: set(g["doc_id"]) for s, g in df.groupby("status")}
     con = duckdb_con(SF)
     ids = [r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()]
     con.close()
-    assert by["removed"] == {i for i in ids if i % 10 == 3}
-    assert by["changed"] == {i for i in ids if i % 10 == 7}
-    assert by["added"] == {i + 1000000 for i in ids if i % 10 == 0}
+    con2 = duckdb_con(SF)
+    src19 = {
+        r[0]
+        for r in con2.sql(
+            "SELECT doc_id FROM documents WHERE source = 'src19'"
+        ).fetchall()
+    }
+    con2.close()
+    assert by["removed"] == {
+        i for i in ids if (i // 7) % 10 == 3
+    } | src19
+    assert by["changed"] == {
+        i for i in ids if (i // 7) % 10 == 7 and i not in src19
+    }
+    assert by["added"] == {i + 1000000 for i in ids if (i // 7) % 10 == 0}
     assert len(df) == len(set(df["doc_id"]))
 
 
