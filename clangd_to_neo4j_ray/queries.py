@@ -80,6 +80,12 @@ register(
 for _name in ("enrich_rollup_sources", "enrich_project"):
     register(_name, getattr(_enrich, _name), _enrich.ORACLE_SQL[_name])
 
+from .stages import dedup as _dedup
+
+register(
+    "dedup_clusters", _dedup.dedup_clusters, _dedup.ORACLE_SQL["dedup_clusters"]
+)
+
 # --- mergeable cardinality sketches (new r5 — keep first) ---
 from .stages import sketches as _sk
 
@@ -212,7 +218,6 @@ for _name, _fn in [
 from .stages import dedup as _dedup
 
 for _name, _fn in [
-    ("dedup_clusters", _dedup.dedup_clusters),
     ("dedup_exact", _dedup.dedup_exact),
     ("minhash_signatures", _dedup.minhash_signatures),
     ("dedup_minhash_pairs", _dedup.dedup_minhash_pairs),
