@@ -288,34 +288,31 @@ def bigram_collocations(sf_dir: str) -> ray.data.Dataset:
             b=batch,
         )
 
-    unigrams = grouped_agg(
-        ds.map_batches(unigram_partials, batch_format="pyarrow"),
-        ["tok"],
-        {"n": ("n", "sum")},
-    ).to_pandas()
-    counts = dict(zip(unigrams["tok"], unigrams["n"]))
-    total = int(unigrams["n"].sum())
-    ref = _ray.put(counts)
+    uni_table = pa.Table.from_pandas(
+        grouped_agg(
+            ds.map_batches(unigram_partials, batch_format="pyarrow"),
+            ["tok"],
+            {"n": ("n", "sum")},
+        ).to_pandas()
+    )
+    total = int(pc.sum(uni_table["n"]).as_py())
+    ref = _ray.put(uni_table)
 
     def lift(t: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        c = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
-        keep = pc.greater_equal(
-            t["n_xy"], pa.scalar(COLLOC_MIN_COUNT, pa.int64())
-        )
-        t = t.filter(keep)
-        n_xy = t["n_xy"].to_numpy(zero_copy_only=False)
-        n_x = _np.array([c[w] for w in t["w1"].to_pylist()], dtype=_np.int64)
-        n_y = _np.array([c[w] for w in t["w2"].to_pylist()], dtype=_np.int64)
-        permille = (1000 * n_xy * total) // (n_x * n_y)
-        return pa.table(
-            {
-                "w1": t["w1"],
-                "w2": t["w2"],
-                "n_xy": t["n_xy"],
-                "lift_permille": pa.array(permille, type=pa.int64()),
-            }
+        # vectorized per-batch hash join against the broadcast unigram
+        # table — never a Python per-row dict lookup (the bigram exchange
+        # output is vocab^2-bounded, i.e. large at corpus scale)
+        uni = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        return sql_over(
+            f"""SELECT b.w1, b.w2, b.n_xy,
+                  CAST((1000 * b.n_xy * {total}) // (ux.n * uy.n) AS BIGINT)
+                    AS lift_permille
+                FROM b
+                JOIN u ux ON ux.tok = b.w1
+                JOIN u uy ON uy.tok = b.w2
+                WHERE b.n_xy >= {COLLOC_MIN_COUNT}""",
+            b=t,
+            u=uni,
         )
 
     return bigrams.map_batches(lift, batch_format="pyarrow")
