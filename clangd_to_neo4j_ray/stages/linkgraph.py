@@ -36,8 +36,10 @@ relative paths) are dropped by design; absolute http(s), scheme-relative
 The family built on this edge set (all oracle-exact): degree rollups,
 unweighted and link-multiplicity-weighted integer PageRank, HITS
 hubs/authorities, co-citation relatedness pairs, anchor-text profiles,
-anchor->entity-dictionary evidence edges, and a per-partition
-checkpointed build (``pipelines/weblink.py``).
+anchor->entity-dictionary evidence edges, per-host reputation profiles
+(content stats folded with degrees), crawl-frontier generation (targets
+anti-joined against the corpus), crawl-to-crawl link deltas, and a
+per-partition checkpointed build (``pipelines/weblink.py``).
 """
 
 from __future__ import annotations

@@ -1,7 +1,7 @@
-"""Web-corpus curation over the pages contract: boilerplate-line removal
-and URL canonicalization/dedup.
+"""Web-corpus curation over the pages contract: boilerplate-line removal,
+URL canonicalization/dedup, and crawl snapshot diffing.
 
-Two operator families a Common-Crawl-scale training-data pipeline runs
+Operator families a Common-Crawl-scale training-data pipeline runs
 before anything else touches the text:
 
 * **Boilerplate-line detection + scrub** (CCNet-style): hash every line of
