@@ -177,6 +177,7 @@ register("host_profiles", _lg.host_profiles, _lg.ORACLE_SQL["host_profiles"])
 from .stages import sampling as _sampling
 
 for _name in (
+    "sample_weighted",
     "decontam_ngram",
     "decontam_dead_letters",
     "split_train_val",

@@ -38,6 +38,50 @@ def _split_tags(doc_ids: pa.Array | pa.ChunkedArray) -> pa.Array:
     return out["split"].combine_chunks()
 
 
+WEIGHT_SEED = "w1"  # seed for the weighted-keep draw
+WEIGHT_TOKEN_CAP = 60  # docs with >= this many tokens are always kept
+
+# keep iff the first 6 md5-hex chars (24 bits, parsed to an integer) fall
+# under the per-doc permille threshold — ALL-integer compare, shared
+# verbatim with the oracle.  (A lexicographic hex compare against a
+# printf('%06x') threshold breaks at p = 1000, where the threshold needs
+# 7 hex digits and the string comparison inverts — caught by the
+# always-keep semantic test.)
+WEIGHTED_KEEP_EXPRS = f"""least(1000, (1000 * len(string_split(text, ' ')))
+      // {WEIGHT_TOKEN_CAP}) AS p_permille,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|{WEIGHT_SEED}'),
+      1, 6)) AS BIGINT) AS h24"""
+
+WEIGHTED_KEEP_PRED = "h24 * 1000 < p_permille * 16777216"
+
+
+def sample_weighted(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic WEIGHTED Bernoulli sample: each document is kept with
+    probability proportional to its token count (capped at 1) — the
+    quality/length-upsampling draw a data-mixing pipeline runs, vs the
+    uniform per-stratum draw of ``sample_stratified``.  Seeded md5 makes
+    the draw stable across runs, machines, and repartitioning; the keep
+    decision is a lexicographic hex compare against a per-doc integer
+    threshold, so the oracle reproduces every row.
+
+    Output: (doc_id, n_tokens, p_permille) for kept docs.  Pure
+    projection + filter — zero exchanges."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            f"""SELECT doc_id, n_tokens, p_permille FROM (
+                  SELECT doc_id, {WEIGHTED_KEEP_EXPRS} FROM t)
+                WHERE {WEIGHTED_KEEP_PRED}""",
+            t=batch,
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def split_train_val(sf_dir: str) -> ray.data.Dataset:
     """Assign every document to 'train' or 'val' deterministically.
 
@@ -269,6 +313,11 @@ df AS (SELECT s, CAST(count(*) AS BIGINT) AS n_docs FROM tagged GROUP BY s)
 """
 
 ORACLE_SQL: dict[str, str] = {
+    "sample_weighted": f"""
+SELECT doc_id, n_tokens, p_permille FROM (
+  SELECT doc_id, {WEIGHTED_KEEP_EXPRS} FROM documents)
+WHERE {WEIGHTED_KEEP_PRED}
+""",
     "decontam_ngram": f"""
 WITH {_SQL_DECONTAM_BASE},
 ok AS (SELECT s FROM df WHERE n_docs <= {DECONTAM_DF_CAP}),

