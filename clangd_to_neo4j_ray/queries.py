@@ -73,6 +73,14 @@ register(
 )
 register("rag_chunks", _text.rag_chunks, _text.ORACLE_SQL["rag_chunks"])
 register(
+    "inverted_index", _text.inverted_index, _text.ORACLE_SQL["inverted_index"]
+)
+register(
+    "inverted_index_dead_letters",
+    _text.inverted_index_dead_letters,
+    _text.ORACLE_SQL["inverted_index_dead_letters"],
+)
+register(
     "dedup_cluster_quality",
     _corpus.dedup_cluster_quality,
     _corpus.ORACLE_SQL["dedup_cluster_quality"],

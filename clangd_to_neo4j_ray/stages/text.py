@@ -233,6 +233,98 @@ def bpe_pair_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+POSTINGS_DF_CAP = 32  # tokens in more docs than this are dead-lettered
+
+
+def _posting_groups(sf_dir: str) -> ray.data.Dataset:
+    """Shared plan for the inverted index: per-batch distinct (tok,
+    doc_id) pairs (docs never span batches, so per-batch distinct is
+    globally distinct), ONE token-keyed exchange, per-bucket polars
+    grouping into (tok, df, postings) — postings joined sorted doc_ids
+    for tokens under the df cap, NULL above it."""
+    import polars as pl
+
+    from .shuffle import _bucketed_polars, auto_num_buckets
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from ..functions.duck import sql_over
+
+        return sql_over(
+            """WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM b)
+            SELECT DISTINCT a.doc_id, a.tok || ' ' || c.tok AS phrase
+            FROM tok a JOIN tok c
+              ON a.doc_id = c.doc_id AND c.i = a.i + 1""",
+            b=batch,
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop("__bucket")
+        out = (
+            df.group_by("phrase")
+            .agg(
+                pl.col("doc_id").count().cast(pl.Int64).alias("df"),
+                pl.col("doc_id").sort().cast(pl.Utf8).alias("_ids"),
+            )
+            .with_columns(
+                pl.when(pl.col("df") <= POSTINGS_DF_CAP)
+                .then(pl.col("_ids").list.join(","))
+                .otherwise(None)
+                .alias("postings")
+            )
+            .select(["phrase", "df", "postings"])
+        )
+        return out.to_arrow()
+
+    raw = ds.map_batches(pairs, batch_format="pyarrow")
+    return _bucketed_polars(
+        raw, ["phrase"], per_bucket, auto_num_buckets(raw)
+    )
+
+
+def inverted_index(sf_dir: str) -> ray.data.Dataset:
+    """Posting lists for rare-enough PHRASES (adjacent token 2-grams —
+    the unigram vocabulary of the synthetic corpus is so small every
+    token is corpus-frequent; bigrams carry a real df spread, and a
+    phrase index is the retrieval structure anyway):
+    (phrase, df, postings) with
+    postings = comma-joined sorted doc_ids, restricted to tokens whose
+    document frequency is <= POSTINGS_DF_CAP — the retrieval-side index a
+    RAG pipeline materializes next to the KG, with the engine's
+    established df-cap discipline (corpus-frequent terms carry no useful
+    posting list and would make single rows unbounded; they are
+    dead-lettered, see :func:`inverted_index_dead_letters`).
+
+    Plan: per-batch distinct (tok, doc_id) pairs + ONE token-keyed
+    exchange with a vectorized polars grouping per bucket."""
+    import pyarrow.compute as _pc
+
+    grouped = _posting_groups(sf_dir)
+    return grouped.map_batches(
+        lambda t: t.filter(_pc.is_valid(t["postings"])),
+        batch_format="pyarrow",
+    )
+
+
+def inverted_index_dead_letters(sf_dir: str) -> ray.data.Dataset:
+    """The capped side of :func:`inverted_index`: (tok, df) for tokens in
+    more than POSTINGS_DF_CAP documents — explicit accounting instead of
+    silent truncation."""
+    import pyarrow.compute as _pc
+
+    grouped = _posting_groups(sf_dir)
+    return grouped.map_batches(
+        lambda t: t.filter(_pc.is_null(t["postings"])).select(
+            ["phrase", "df"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 COLLOC_MIN_COUNT = 5  # bigrams below this support are noise, dropped
 
 
@@ -597,6 +689,26 @@ r AS (
   FROM cnt
 )
 SELECT source, tok, n FROM r WHERE rk <= {VOCAB_K}
+""",
+    "inverted_index": f"""
+WITH {_SQL_TOK},
+pairs AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS phrase
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+g AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM pairs GROUP BY phrase)
+SELECT phrase, df, postings FROM g WHERE df <= {POSTINGS_DF_CAP}
+""",
+    "inverted_index_dead_letters": f"""
+WITH {_SQL_TOK},
+pairs AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS phrase
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+g AS (SELECT phrase, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY phrase)
+SELECT phrase, df FROM g WHERE df > {POSTINGS_DF_CAP}
 """,
     "bigram_collocations": f"""
 WITH {_SQL_TOK},

@@ -244,3 +244,36 @@ def test_sample_weighted_matches_oracle_and_semantics(ray_session, sf_dir):
     # longer docs keep more often: mean kept length > corpus mean requires
     # the weighting to have acted (uniform draw would preserve the mean)
     assert (df["p_permille"] <= 1000).all() and (df["n_tokens"] > 0).all()
+
+
+def test_inverted_index_matches_oracle(ray_session, sf_dir):
+    from clangd_to_neo4j_ray.stages import text as _text
+
+    from .util import assert_matches_oracle
+
+    assert_matches_oracle(
+        _text.inverted_index(sf_dir),
+        _text.ORACLE_SQL["inverted_index"],
+        sf_dir,
+    )
+    assert_matches_oracle(
+        _text.inverted_index_dead_letters(sf_dir),
+        _text.ORACLE_SQL["inverted_index_dead_letters"],
+        sf_dir,
+    )
+
+
+def test_inverted_index_postings_sorted_and_capped(ray_session, sf_dir):
+    from clangd_to_neo4j_ray.stages import text as _text
+
+    from .util import to_pandas
+
+    df = to_pandas(_text.inverted_index(sf_dir))
+    assert len(df) > 0
+    assert (df["df"] <= _text.POSTINGS_DF_CAP).all()
+    for _, r in df.head(50).iterrows():
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids) and len(ids) == r["df"]
+        assert len(set(ids)) == len(ids)
+    dl = to_pandas(_text.inverted_index_dead_letters(sf_dir))
+    assert (dl["df"] > _text.POSTINGS_DF_CAP).all()
