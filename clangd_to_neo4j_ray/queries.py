@@ -205,6 +205,9 @@ register(
     _mm.MULTIMODAL_WORDS_SQL,
 )
 register("multimodal_features", _mm.multimodal_features)  # rows-only
+register(
+    "video_frame_samples", _mm.video_frame_samples, _mm.VIDEO_FRAMES_SQL
+)
 
 # --- documents-KG pipeline (flagship; SURVEY §2.2/2.4/2.5/2.6; r5: folder
 # hierarchy levels in kg_nodes/kg_edges) ---

@@ -315,6 +315,126 @@ FROM v
 """
 
 
+class VideoFrameSampler:
+    """Actor-pool stage: video payload + duration -> sampled frame rows
+    (the spec's frame-sample plumbing: one media row IN, ``n_frames``
+    frame rows OUT, payload dropped at the boundary).
+
+    Frame TIMES are pure integer arithmetic over ``duration_ms`` (evenly
+    spaced, floor); per-frame features are the deterministic md5 fake
+    keyed by ``"{frame_idx}@"`` (ASCII prefix — same SQL-reproducibility
+    trick as ``ImageFeatureExtractor._fake_words``), so the whole stage is
+    value-exact against a DuckDB oracle.  A real decoder slots in behind
+    the same ``decoder`` switch; only ``"fake"`` exists in this container
+    (no codec libraries), and it raises ``DecodeUnavailable`` otherwise.
+    """
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        if decoder != "fake":
+            raise DecodeUnavailable(
+                "no video codec library in this container; only the "
+                "deterministic fake decoder exists"
+            )
+        self.n_frames = n_frames
+
+    def _frame_word(self, idx: int, payload: bytes) -> int:
+        h = hashlib.md5(f"{idx}@".encode() + payload).digest()
+        return int.from_bytes(h[:4], "little")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds = batch["media_id"].to_pylist(), batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        durations = batch["duration_ms"].to_pylist()
+        out: dict[str, list] = {
+            "media_id": [],
+            "frame_idx": [],
+            "t_ms": [],
+            "frame_word": [],
+        }
+        for mid, kind, p, dur in zip(ids, kinds, payloads, durations):
+            if kind != "video":
+                continue
+            p = p or b""
+            for i in range(self.n_frames):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["t_ms"].append((i * dur) // self.n_frames)
+                out["frame_word"].append(self._frame_word(i, p))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], type=pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], type=pa.int64()),
+                "t_ms": pa.array(out["t_ms"], type=pa.int64()),
+                "frame_word": pa.array(out["frame_word"], type=pa.int64()),
+            }
+        )
+
+
+def video_frame_samples(sf_dir: str) -> ray.data.Dataset:
+    """Driver query: frame-sampling plumbing over the synthetic media
+    table's video rows.  Output: (media_id, frame_idx, t_ms, frame_word)
+    — 4 evenly-spaced frames per video, integer times, md5-fake frame
+    features; value-exact vs ``VIDEO_FRAMES_SQL``.
+
+    The synthetic ``duration_ms`` (1000 + (doc_id % 60) * 500) rides the
+    media adapter so the time arithmetic is non-trivial per row."""
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    n_rows = parquet_rows_hint(path)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        kinds = ["image", "audio", "video"]
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    [f"m{i:08d}" for i in ids], type=pa.string()
+                ),
+                "kind": pa.array(
+                    [kinds[i % 3] for i in ids], type=pa.string()
+                ),
+                "payload": pa.array(
+                    [(t or "").encode() for t in texts], type=pa.binary()
+                ),
+                "duration_ms": pa.array(
+                    [1000 + (i % 60) * 500 for i in ids], type=pa.int64()
+                ),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(
+        VideoFrameSampler,
+        batch_format="pyarrow",
+        batch_size=WIDE_ROW_BATCH_SIZE,
+        concurrency=capped_pool_size(n_rows, WIDE_ROW_BATCH_SIZE),
+    )
+
+
+# SQL twin of VideoFrameSampler for text payloads: frame times by integer
+# division, frame word = first uint32 (little-endian) of md5("{i}@" || text)
+VIDEO_FRAMES_SQL = """
+WITH media AS (
+  SELECT printf('m%08d', doc_id) AS media_id,
+         COALESCE(text, '') AS t,
+         1000 + (doc_id % 60) * 500 AS duration_ms
+  FROM documents
+  WHERE doc_id % 3 = 2
+), f AS (SELECT unnest(range(4)) AS frame_idx),
+w AS (
+  SELECT m.media_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+         CAST((f.frame_idx * m.duration_ms) // 4 AS BIGINT) AS t_ms,
+         md5(CAST(f.frame_idx AS VARCHAR) || '@' || m.t) AS h
+  FROM media m CROSS JOIN f
+)
+SELECT media_id, frame_idx, t_ms,
+       ('0x' || substr(h, 7, 2) || substr(h, 5, 2)
+             || substr(h, 3, 2) || substr(h, 1, 2))::BIGINT AS frame_word
+FROM w
+"""
+
+
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media table for tests (binary payloads of varying
     size, typed metadata)."""

@@ -259,3 +259,45 @@ def test_llm_client_factory_env_selection(monkeypatch):
     c = lc.get_llm_client()
     assert type(c).__name__ == "OpenAiCompatibleClient"
     assert c.api_url.startswith("http://localhost:9")
+
+
+def test_video_frame_sampler_matches_oracle(ray_session):
+    from clangd_to_neo4j_ray.stages import multimodal as mm
+
+    from .util import assert_matches_oracle
+
+    assert_matches_oracle(
+        mm.video_frame_samples("/root/testdata/sf0.001"),
+        mm.VIDEO_FRAMES_SQL,
+        "/root/testdata/sf0.001",
+    )
+
+
+def test_video_frame_sampler_shape_and_determinism():
+    """One media row in, n_frames frame rows out; non-video kinds dropped;
+    frame times evenly spaced integers; repeated calls identical."""
+    import pyarrow as pa
+
+    from clangd_to_neo4j_ray.stages.multimodal import (
+        DecodeUnavailable,
+        VideoFrameSampler,
+    )
+
+    batch = pa.table(
+        {
+            "media_id": ["v1", "i1"],
+            "kind": ["video", "image"],
+            "payload": [b"abc", b"xyz"],
+            "duration_ms": [2000, 0],
+        }
+    )
+    s = VideoFrameSampler(n_frames=4)
+    out = s(batch)
+    assert len(out) == 4
+    assert out["media_id"].to_pylist() == ["v1"] * 4
+    assert out["t_ms"].to_pylist() == [0, 500, 1000, 1500]
+    assert out.to_pylist() == s(batch).to_pylist()
+    import pytest
+
+    with pytest.raises(DecodeUnavailable):
+        VideoFrameSampler(decoder="ffmpeg")
