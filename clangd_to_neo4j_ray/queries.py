@@ -59,6 +59,9 @@ from .pipelines import corpus as _corpus
 from .pipelines import enrich as _enrich
 from .stages import text as _text
 
+register(
+    "tfidf_top_terms", _text.tfidf_top_terms, _text.ORACLE_SQL["tfidf_top_terms"]
+)
 register("pii_scrub", _text.pii_scrub, _text.ORACLE_SQL["pii_scrub"])
 register(
     "vocab_top_tokens", _text.vocab_top_tokens, _text.ORACLE_SQL["vocab_top_tokens"]

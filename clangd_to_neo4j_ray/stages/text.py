@@ -410,6 +410,77 @@ def bigram_collocations(sf_dir: str) -> ray.data.Dataset:
     return bigrams.map_batches(lift, batch_format="pyarrow")
 
 
+TFIDF_K = 5  # keywords kept per document
+
+
+def tfidf_top_terms(sf_dir: str, *, k: int = TFIDF_K) -> ray.data.Dataset:
+    """Keyword extraction: the k highest-tf-idf terms of every document.
+
+    Score is the integer-exact tf-idf variant
+    ``score_permille = (1000 * tf * n_docs) // df`` — the idf log is
+    dropped so the measure reproduces bit-for-bit in the SQL oracle (same
+    discipline as :func:`bigram_collocations`); within a document the
+    candidate ordering is tf * (monotone idf transform), ties broken by
+    ascending token for a total order.  Output: (doc_id, tok, tf,
+    score_permille).
+
+    Plan: two streaming scans beat one scan + two corpus-sized exchanges —
+    scan 1 emits per-batch (tok, df) partials (exact: a doc is one row, so
+    batch-local distinct-(doc,tok) counts never overlap across batches)
+    folded in ONE vocabulary-bounded exchange and broadcast via
+    ``ray.put``; scan 2 computes per-doc tf + score + top-k entirely
+    batch-locally (per-doc rank needs no exchange for the same row-atomicity
+    reason).  int64 headroom: 1000 * tf * n_docs — rescale past ~1e12
+    docs*tf (disclosed)."""
+    import ray as _ray
+
+    from ..functions.duck import sql_over
+    from .shuffle import grouped_agg
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = _read_docs(sf_dir, ["doc_id"]).count()  # parquet metadata count
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            """SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM b) GROUP BY tok""",
+            b=batch,
+        )
+
+    df_table = pa.Table.from_pandas(
+        grouped_agg(
+            ds.map_batches(df_partials, batch_format="pyarrow"),
+            ["tok"],
+            {"df": ("df", "sum")},
+        ).to_pandas()
+    )
+    ref = _ray.put(df_table)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dft = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        return sql_over(
+            f"""WITH tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM b) GROUP BY doc_id, tok),
+            s AS (
+              SELECT tf.doc_id, tf.tok, tf.tf,
+                     CAST((1000 * tf.tf * {n_docs}) // d.df AS BIGINT)
+                       AS score_permille,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY (1000 * tf.tf * {n_docs}) // d.df DESC,
+                                tf.tok) AS rk
+              FROM tf JOIN d ON d.tok = tf.tok)
+            SELECT doc_id, tok, tf, score_permille FROM s WHERE rk <= {k}""",
+            b=batch,
+            d=dft,
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def text_repetition(sf_dir: str) -> ray.data.Dataset:
     """Repetition-based quality stats (the Gopher/C4 duplicate-n-gram rule
     family): per-document 2-gram duplication, integer-exact.
@@ -709,6 +780,22 @@ pairs AS (
   FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
 g AS (SELECT phrase, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY phrase)
 SELECT phrase, df FROM g WHERE df > {POSTINGS_DF_CAP}
+""",
+    "tfidf_top_terms": f"""
+WITH {_SQL_TOK},
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY tok),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         CAST((1000 * tf.tf * nd.n) // df.df AS BIGINT) AS score_permille,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (1000 * tf.tf * nd.n) // df.df DESC, tf.tok) AS rk
+  FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN nd)
+SELECT doc_id, tok, tf, score_permille FROM s WHERE rk <= {TFIDF_K}
 """,
     "bigram_collocations": f"""
 WITH {_SQL_TOK},

@@ -15,6 +15,7 @@ NAMES = [
     "kg_pagerank",
     "kg_head_entities",
     "pii_scrub",
+    "tfidf_top_terms",
     "dedup_clusters",
     "dedup_cluster_quality",
     "text_quality",
@@ -219,6 +220,33 @@ def test_bigram_collocations_lift_arithmetic(ray_session, sf_dir):
     for _, r in df.head(25).iterrows():
         expect = (1000 * r["n_xy"] * total) // (uni[r["w1"]] * uni[r["w2"]])
         assert r["lift_permille"] == expect
+
+
+def test_tfidf_top_terms_semantics(ray_session, sf_dir):
+    """At most k keywords per doc; scores recompute exactly from
+    independent DuckDB tf/df/N counts; within-doc ordering is total."""
+    from clangd_to_neo4j_ray.stages import text as _text
+
+    from .util import duckdb_con, to_pandas
+
+    df = to_pandas(_text.tfidf_top_terms(sf_dir))
+    per_doc = df.groupby("doc_id").size()
+    assert (per_doc <= _text.TFIDF_K).all()
+    con = duckdb_con(sf_dir)
+    dfreq = dict(
+        con.sql(
+            "SELECT tok, count(DISTINCT doc_id) FROM (SELECT doc_id,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents)"
+            " GROUP BY tok"
+        ).fetchall()
+    )
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    con.close()
+    for _, r in df.head(25).iterrows():
+        assert r["score_permille"] == (1000 * r["tf"] * n_docs) // dfreq[r["tok"]]
+    # a doc with >= k distinct tokens keeps exactly k
+    full = per_doc[per_doc == _text.TFIDF_K]
+    assert len(full) > 0
 
 
 def test_sample_weighted_matches_oracle_and_semantics(ray_session, sf_dir):
