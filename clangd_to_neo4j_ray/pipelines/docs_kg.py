@@ -239,6 +239,98 @@ def kg_triples(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+COOC_MIN_DOCS = 2  # entity pairs co-mentioned in fewer docs are noise
+
+_SQL_VOCAB_NAMES = ", ".join(f"'{w}'" for w in VOCAB_WORDS)
+
+
+def kg_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Document-level entity relatedness edges — the KG-construction signal
+    :func:`kg_triples` (token adjacency) cannot see: entities co-mentioned
+    anywhere in the same document, ranked by integer lift
+    ``lift_permille = (1000 * n_docs * N) // (nd1 * nd2)`` (the PMI family
+    with the log dropped; same discipline as tfidf/collocations so the
+    oracle is bit-exact).  Analog of the reference's same-file symbol
+    relatedness rollup (clangd_call_graph_builder.py:124-201 generalized
+    from spans to the whole document window).
+
+    Output: (e1, e2, w1, w2, n_docs, evidence_doc, lift_permille) with
+    w1 < w2 and n_docs >= COOC_MIN_DOCS.
+
+    Plan: ONE scan — per batch a single DuckDB kernel does
+    explode -> vocab filter -> distinct (doc, entity) -> within-doc pair
+    self-join -> partial pair counts (exact batch-locally: a document is
+    one row, so map_batches never splits its tokens).  The pair exchange
+    is vocab^2-bounded; per-entity doc frequencies fold in a second
+    vocab-bounded exchange and broadcast via ``ray.put`` into the lift
+    kernel.  Self-join cost is per-doc O(k^2) in DISTINCT entities per doc
+    (k <= vocab), never corpus-wide all-pairs."""
+    import ray as _ray
+
+    from ..functions.duck import sql_over
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    n_total = _read_documents(sf_dir, ["doc_id"]).count()
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            f"""WITH m AS (
+              SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM b)
+              WHERE tok IN ({_SQL_VOCAB_NAMES}))
+            SELECT a.tok AS w1, c.tok AS w2,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(a.doc_id) AS evidence_doc
+            FROM m a JOIN m c ON a.doc_id = c.doc_id AND a.tok < c.tok
+            GROUP BY a.tok, c.tok""",
+            b=batch,
+        )
+
+    pairs = grouped_agg(
+        ds.map_batches(pair_partials, batch_format="pyarrow"),
+        ["w1", "w2"],
+        {"n_docs": ("n", "sum"), "evidence_doc": ("evidence_doc", "min")},
+    )
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            f"""SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM b)
+            WHERE tok IN ({_SQL_VOCAB_NAMES}) GROUP BY tok""",
+            b=batch,
+        )
+
+    ent_df = pa.Table.from_pandas(
+        grouped_agg(
+            ds.map_batches(df_partials, batch_format="pyarrow"),
+            ["tok"],
+            {"nd": ("nd", "sum")},
+        ).to_pandas()
+    )
+    ref = _ray.put(ent_df)
+
+    def lift(t: pa.Table) -> pa.Table:
+        ed = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        out = sql_over(
+            f"""SELECT b.w1, b.w2, b.n_docs, b.evidence_doc,
+                  CAST((1000 * b.n_docs * {n_total}) // (ea.nd * eb.nd)
+                    AS BIGINT) AS lift_permille
+                FROM b
+                JOIN e ea ON ea.tok = b.w1
+                JOIN e eb ON eb.tok = b.w2
+                WHERE b.n_docs >= {COOC_MIN_DOCS}""",
+            b=t,
+            e=ed,
+        )
+        return out.append_column(
+            "e1", entity_ids_arrow(out["w1"].combine_chunks())
+        ).append_column("e2", entity_ids_arrow(out["w2"].combine_chunks()))
+
+    return pairs.map_batches(lift, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Stage: node/edge materialization (Passes 3-6) + orphan cleanup (A8)
 # ---------------------------------------------------------------------------
@@ -769,6 +861,24 @@ SELECT substr(md5(w1), 1, 16) AS subj, '{PRED_COOCCURS}' AS pred,
        substr(md5(w2), 1, 16) AS obj, w1 AS subj_name, w2 AS obj_name,
        min(doc_id) AS evidence_doc, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM pairs GROUP BY w1, w2
+""",
+    "kg_cooccurrence": f"""
+WITH {SQL_TOK}, {SQL_VOCAB},
+m AS (SELECT DISTINCT t.doc_id, t.tok FROM tok t
+      WHERE t.tok IN (SELECT name FROM vocab)),
+p AS (SELECT a.tok AS w1, b.tok AS w2,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             min(a.doc_id) AS evidence_doc
+      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok),
+ed AS (SELECT tok, CAST(count(*) AS BIGINT) AS nd FROM m GROUP BY tok),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT substr(md5(p.w1), 1, 16) AS e1, substr(md5(p.w2), 1, 16) AS e2,
+       p.w1, p.w2, p.n_docs, p.evidence_doc,
+       CAST((1000 * p.n_docs * nd.n) // (ea.nd * eb.nd) AS BIGINT)
+         AS lift_permille
+FROM p JOIN ed ea ON ea.tok = p.w1 JOIN ed eb ON eb.tok = p.w2 CROSS JOIN nd
+WHERE p.n_docs >= {COOC_MIN_DOCS}
 """,
     "kg_nodes": f"""
 WITH {SQL_TOK}, {SQL_VOCAB}, {SQL_FOLDERS}

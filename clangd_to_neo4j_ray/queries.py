@@ -62,6 +62,18 @@ from .stages import text as _text
 register(
     "tfidf_top_terms", _text.tfidf_top_terms, _text.ORACLE_SQL["tfidf_top_terms"]
 )
+from .pipelines import docs_kg as _dkg_front
+
+register(
+    "kg_cooccurrence",
+    _dkg_front.kg_cooccurrence,
+    _dkg_front.ORACLE_SQL["kg_cooccurrence"],
+)
+from .stages import similarity as _sim_front
+
+register(
+    "embed_kmeans", _sim_front.embed_kmeans, _sim_front.ORACLE_SQL["embed_kmeans"]
+)
 register("pii_scrub", _text.pii_scrub, _text.ORACLE_SQL["pii_scrub"])
 register(
     "vocab_top_tokens", _text.vocab_top_tokens, _text.ORACLE_SQL["vocab_top_tokens"]
@@ -191,9 +203,6 @@ for _name in (
     "sample_weighted",
     "decontam_ngram",
     "decontam_dead_letters",
-    "split_train_val",
-    "sample_stratified",
-    "split_contamination",
 ):
     register(_name, getattr(_sampling, _name), _sampling.ORACLE_SQL[_name])
 
@@ -207,7 +216,6 @@ register(
     _mm.multimodal_feature_words,
     _mm.MULTIMODAL_WORDS_SQL,
 )
-register("multimodal_features", _mm.multimodal_features)  # rows-only
 register(
     "video_frame_samples", _mm.video_frame_samples, _mm.VIDEO_FRAMES_SQL
 )
@@ -300,6 +308,14 @@ register("ann_brute_topk", _sim.ann_brute_topk, _sim.ORACLE_SQL["ann_brute_topk"
 register("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ORACLE_SQL["ann_lsh_topk"])
 register("ann_ivf_topk", _sim.ann_ivf_topk, _sim.ORACLE_SQL["ann_ivf_topk"])
 register("ann_recall", _sim.ann_recall, _sim.ORACLE_SQL["ann_recall"])
+
+# --- r4-artifact-verified sampling/splitting rows + the rows-only
+# multimodal summary — moved past the 50-entry artifact window to keep
+# every never-verified query inside it (the window invariant is pinned by
+# tests/test_registry.py) ---
+for _name in ("split_train_val", "sample_stratified", "split_contamination"):
+    register(_name, getattr(_sampling, _name), _sampling.ORACLE_SQL[_name])
+register("multimodal_features", _mm.multimodal_features)  # rows-only
 
 # --- event windows / sessions (unchanged since r3; judged green — tail) ---
 from .stages import windows as _win
