@@ -460,3 +460,177 @@ SELECT h.method, h.qid, t.n_true, h.n_hits,
        CAST((h.n_hits * 1000) // t.n_true AS BIGINT) AS recall_permille
 FROM hits h JOIN truth t USING (qid)
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's algorithm, integer-exact)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8  # clusters
+KMEANS_ITERS = 3  # Lloyd update rounds (fixed so the oracle can unroll)
+KMEANS_SCALE = 1 << 20  # fixed-point quantization of the float32 inputs
+
+
+def _quantize_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, int64 matrix) — ``floor(float64(x) * SCALE)`` exactly as
+    the oracle's ``CAST(floor(CAST(e AS DOUBLE) * SCALE) AS BIGINT)``."""
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+    q = np.floor(m * KMEANS_SCALE).astype(np.int64)
+    return ids, q
+
+
+def _assign(q: np.ndarray, cluster_ids: np.ndarray, cents: np.ndarray):
+    """Nearest centroid per row (squared L2, integer-exact); ties go to the
+    lowest cluster id because ``cluster_ids`` is sorted and argmin takes
+    the first minimum.  int64 headroom: diff <= 2^21, squared <= 2^42,
+    x 64 dims <= 2^48."""
+    d = q[:, None, :] - cents[None, :, :]  # (B, k, dim)
+    dist = np.einsum("bkd,bkd->bk", d, d)
+    j = np.argmin(dist, axis=1)
+    return cluster_ids[j], dist[np.arange(len(q)), j]
+
+
+def embed_kmeans(sf_dir: str) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the embedding column — the corpus
+    clustering stage of a curation pipeline (domain discovery / cluster-
+    balanced sampling), integer-exact end to end so the full iterative
+    algorithm is DuckDB-oracle-checkable (same fixed-point discipline as
+    the PageRank family, stages/graph_algo.py).
+
+    Embeddings are quantized to int64 (floor(x * 2^20)); init centroids
+    are the K lowest vec_ids; each of the KMEANS_ITERS rounds is one
+    streaming assignment scan emitting O(k x dim) partial sums per batch
+    + ONE bounded exchange (grouped sum over (cluster, dim)); the new
+    integer centroid is the driver-side floor-division of the k x dim
+    fold (empty clusters drop, mirroring the oracle's inner join).  A
+    final scan emits (vec_id, cluster, dist2).  Nothing corpus-sized ever
+    leaves the workers: per-round driver state is k x dim int64.
+
+    Output: (vec_id, cluster, dist2) with dist2 the squared quantized
+    L2 distance to the final centroid."""
+    from .shuffle import grouped_agg
+
+    ds = _read_embeddings(sf_dir)
+
+    # init: the K lowest vec_ids (tiny bounded driver read, same pattern
+    # as _query_matrix)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pa.compute.less(t["vec_id"], KMEANS_K)).sort_by("vec_id")
+    cluster_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = np.floor(
+        np.stack(t["embedding"].to_pylist()).astype(np.float64) * KMEANS_SCALE
+    ).astype(np.int64)
+
+    for _ in range(KMEANS_ITERS):
+        ref = ray.put((cluster_ids, cents))
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            cids, c = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            _ids, q = _quantize_batch(batch)
+            assign, _d = _assign(q, cids, c)
+            k, dim = c.shape
+            pos = np.searchsorted(cids, assign)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, pos, q)
+            cnt = np.bincount(pos, minlength=k).astype(np.int64)
+            live = cnt > 0
+            kk = int(live.sum())
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(cids[live], dim)),
+                    "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), kk)),
+                    "s": pa.array(sums[live].reshape(-1)),
+                    "cnt": pa.array(np.repeat(cnt[live], dim)),
+                }
+            )
+
+        fold = pa.Table.from_pandas(
+            grouped_agg(
+                ds.map_batches(partials, batch_format="pyarrow"),
+                ["cluster", "dim"],
+                {"s": ("s", "sum"), "cnt": ("cnt", "sum")},
+            ).to_pandas()
+        ).sort_by([("cluster", "ascending"), ("dim", "ascending")])
+        cluster_ids = np.unique(fold["cluster"].to_numpy(zero_copy_only=False))
+        dim = int(pa.compute.max(fold["dim"]).as_py()) + 1
+        s = fold["s"].to_numpy(zero_copy_only=False).reshape(len(cluster_ids), dim)
+        cnt = (
+            fold["cnt"].to_numpy(zero_copy_only=False).reshape(len(cluster_ids), dim)
+        )
+        cents = s // cnt  # numpy floor-divides (the oracle mirrors with CASE)
+
+    ref = ray.put((cluster_ids, cents))
+
+    def final_assign(batch: pa.Table, _ref=ref) -> pa.Table:
+        cids, c = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        ids, q = _quantize_batch(batch)
+        assign, dist2 = _assign(q, cids, c)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(assign.astype(np.int64)),
+                "dist2": pa.array(dist2.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled-iteration DuckDB oracle for embed_kmeans: quantize, K
+    seed centroids, KMEANS_ITERS x (assign -> floor-div update), final
+    assignment.  Floor division is spelled out (DuckDB ``//`` truncates
+    toward zero; Python floors)."""
+    fdiv = (
+        "CASE WHEN sum(q.v) >= 0 THEN sum(q.v) // count(*) "
+        "ELSE -(((-sum(q.v)) + count(*) - 1) // count(*)) END"
+    )
+    parts = [
+        f"""q AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(CAST(e AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+c0 AS (SELECT vec_id AS cluster, dim, v AS cv FROM q WHERE vec_id < {KMEANS_K})"""
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"""d{it} AS (
+  SELECT q.vec_id, c.cluster,
+         sum((q.v - c.cv) * (q.v - c.cv)) AS dist
+  FROM q JOIN {prev} c ON c.dim = q.dim
+  GROUP BY q.vec_id, c.cluster),
+a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+             AS rk
+    FROM d{it}) WHERE rk = 1),
+c{it} AS (
+  SELECT a.cluster, q.dim, {fdiv} AS cv
+  FROM a{it} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY a.cluster, q.dim)"""
+        )
+    last = f"c{KMEANS_ITERS}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+df AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+  FROM q JOIN {last} c ON c.dim = q.dim
+  GROUP BY q.vec_id, c.cluster)
+SELECT vec_id, cluster, dist2 FROM (
+  SELECT vec_id, cluster, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+  FROM df) WHERE rk = 1
+"""
+
+
+ORACLE_SQL["embed_kmeans"] = _kmeans_oracle_sql()

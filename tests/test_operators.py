@@ -16,6 +16,7 @@ NAMES = [
     "kg_head_entities",
     "pii_scrub",
     "tfidf_top_terms",
+    "embed_kmeans",
     "dedup_clusters",
     "dedup_cluster_quality",
     "text_quality",
@@ -305,3 +306,20 @@ def test_inverted_index_postings_sorted_and_capped(ray_session, sf_dir):
         assert len(set(ids)) == len(ids)
     dl = to_pandas(_text.inverted_index_dead_letters(sf_dir))
     assert (dl["df"] > _text.POSTINGS_DF_CAP).all()
+
+
+def test_embed_kmeans_semantics(ray_session, sf_dir):
+    """Every vector assigned exactly once; cluster ids stay within the K
+    seeds; squared distances are non-negative and integer."""
+    from clangd_to_neo4j_ray.stages import similarity as _sim
+
+    from .util import to_pandas
+
+    df = to_pandas(_sim.embed_kmeans(sf_dir))
+    assert df["vec_id"].is_unique and len(df) == 500
+    assert set(df["cluster"]) <= set(range(_sim.KMEANS_K))
+    assert (df["dist2"] >= 0).all()
+    # k-means over the 10-label synthetic mixture should produce more
+    # than one non-trivial cluster
+    sizes = df.groupby("cluster").size()
+    assert len(sizes) >= 2 and sizes.max() < len(df)
