@@ -74,6 +74,18 @@ from .stages import similarity as _sim_front
 register(
     "embed_kmeans", _sim_front.embed_kmeans, _sim_front.ORACLE_SQL["embed_kmeans"]
 )
+from .stages import windows as _win_front
+
+register(
+    "events_cohorts",
+    _win_front.events_cohorts,
+    _win_front.ORACLE_SQL["events_cohorts"],
+)
+register(
+    "events_funnel",
+    _win_front.events_funnel,
+    _win_front.ORACLE_SQL["events_funnel"],
+)
 register("pii_scrub", _text.pii_scrub, _text.ORACLE_SQL["pii_scrub"])
 register(
     "vocab_top_tokens", _text.vocab_top_tokens, _text.ORACLE_SQL["vocab_top_tokens"]

@@ -221,6 +221,157 @@ def events_sessions(sf_dir: str) -> ray.data.Dataset:
     return _bucketed_polars(mapped, ["user_id"], per_bucket, auto_num_buckets(ds))
 
 
+WEEK_US = 7 * 24 * 3_600 * 1_000_000  # cohort granularity
+
+
+def events_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention triangle: users bucketed by first-seen week,
+    counted in every week they were active, with integer retention vs the
+    cohort's size.  Output: (cohort_week, week, n_users,
+    retention_permille); weeks are epoch-microsecond floors / WEEK_US.
+
+    Physical plan (the sessionization discipline): per-batch distinct
+    (user_id, week) partials, ONE user-keyed bucketed exchange, then per
+    bucket a single vectorized polars kernel derives each user's cohort
+    (min week — exact: all rows of a user land in one bucket) and emits
+    per-(cohort, week) partial distinct-user counts; a second
+    O(weeks^2)-bounded exchange sums them.  Retention division happens on
+    the driver over the bounded fold (a cohort's size is its own
+    (w, w) diagonal cell — every user is active in their first week).
+    Returns an eager Table (registry contract for driver-finished
+    bounded aggregates)."""
+    import polars as pl
+
+    from ..functions.duck import sql_over
+    from .shuffle import _bucketed_polars, _compat, auto_num_buckets
+
+    ds = _read_events(sf_dir, ["user_id", "ts"])
+
+    def to_weeks(batch: pa.Table) -> pa.Table:
+        week = pc.divide(
+            batch["ts"].cast(pa.int64()), pa.scalar(WEEK_US, type=pa.int64())
+        )
+        t = pa.table({"user_id": batch["user_id"], "week": week})
+        return t.group_by(["user_id", "week"]).aggregate([]).select(
+            ["user_id", "week"]
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop("__bucket").unique()
+        coh = df.group_by("user_id").agg(
+            pl.col("week").min().alias("cohort_week")
+        )
+        out = (
+            df.join(coh, on="user_id")
+            .group_by(["cohort_week", "week"])
+            .agg(pl.col("user_id").n_unique().cast(pl.Int64).alias("n_users"))
+        )
+        return _compat(out.to_arrow())
+
+    mapped = ds.map_batches(to_weeks, batch_format="pyarrow")
+    partials = _bucketed_polars(
+        mapped, ["user_id"], per_bucket, auto_num_buckets(ds)
+    )
+    fold = grouped_agg(
+        partials, ["cohort_week", "week"], {"n_users": ("n_users", "sum")}
+    )
+    g = pa.Table.from_pandas(fold.to_pandas())
+    return sql_over(
+        """SELECT g.cohort_week, g.week, g.n_users,
+             CAST((g.n_users * 1000) // s.n_users AS BIGINT)
+               AS retention_permille
+           FROM g JOIN g s ON s.cohort_week = g.cohort_week
+                          AND s.week = s.cohort_week""",
+        g=g,
+    )
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def events_funnel(sf_dir: str) -> pa.Table:
+    """Ordered conversion funnel: users who signed up, then clicked
+    strictly after their first signup, then purchased strictly after that
+    first qualifying click.  Output: (step, event_type, n_users,
+    conversion_permille) with conversion integer-relative to step 1.
+
+    Physical plan (the sessionization discipline): ONE user-keyed
+    bucketed exchange; each bucket runs a vectorized polars min-ts
+    cascade over its users (exact — a user's events never span buckets)
+    and emits 3 partial step counts; the O(steps) fold and the
+    conversion division finish on the driver.  Returns an eager Table
+    (registry contract for bounded driver-finished aggregates)."""
+    import polars as pl
+
+    from .shuffle import _bucketed_polars, _compat, auto_num_buckets
+
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type"])
+    s1, s2, s3 = FUNNEL_STEPS
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop("__bucket")
+        t1 = (
+            df.filter(pl.col("event_type") == s1)
+            .group_by("user_id")
+            .agg(pl.col("ts_us").min().alias("t1"))
+        )
+        t2 = (
+            df.filter(pl.col("event_type") == s2)
+            .join(t1, on="user_id")
+            .filter(pl.col("ts_us") > pl.col("t1"))
+            .group_by("user_id")
+            .agg(pl.col("ts_us").min().alias("t2"))
+        )
+        t3 = (
+            df.filter(pl.col("event_type") == s3)
+            .join(t2, on="user_id")
+            .filter(pl.col("ts_us") > pl.col("t2"))
+            .group_by("user_id")
+            .agg(pl.col("ts_us").min().alias("t3"))
+        )
+        return pa.table(
+            {
+                "step": pa.array([1, 2, 3], type=pa.int64()),
+                "n_users": pa.array(
+                    [len(t1), len(t2), len(t3)], type=pa.int64()
+                ),
+            }
+        )
+
+    mapped = ds.map_batches(to_us, batch_format="pyarrow")
+    partials = _bucketed_polars(
+        mapped, ["user_id"], per_bucket, auto_num_buckets(ds)
+    )
+    fold = (
+        pa.Table.from_pandas(
+            grouped_agg(partials, ["step"], {"n_users": ("n_users", "sum")})
+            .to_pandas()
+        )
+        .sort_by("step")
+    )
+    n = fold["n_users"].to_pylist()
+    base = n[0] if n and n[0] else 1
+    return pa.table(
+        {
+            "step": fold["step"],
+            "event_type": pa.array(list(FUNNEL_STEPS), type=pa.string()),
+            "n_users": fold["n_users"],
+            "conversion_permille": pa.array(
+                [v * 1000 // base for v in n], type=pa.int64()
+            ),
+        }
+    )
+
+
 def events_type_stats(sf_dir: str) -> ray.data.Dataset:
     """Per event_type: counts, distinct users, value sum.
 
@@ -326,6 +477,43 @@ SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "events_funnel": f"""
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+           WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND epoch_us(e.ts) > s.t1
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND epoch_us(e.ts) > c.t2
+      GROUP BY e.user_id),
+f AS (
+  SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+         CAST(count(*) AS BIGINT) AS n_users FROM s
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[1]}', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, '{FUNNEL_STEPS[2]}', CAST(count(*) AS BIGINT) FROM p),
+b AS (SELECT n_users AS base FROM f WHERE step = 1)
+SELECT f.step, f.event_type, f.n_users,
+       CAST((f.n_users * 1000) // greatest(b.base, 1) AS BIGINT)
+         AS conversion_permille
+FROM f CROSS JOIN b
+""",
+    "events_cohorts": f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events),
+c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, c.cohort_week, e.week
+      FROM e JOIN c USING (user_id)),
+g AS (SELECT cohort_week, week, CAST(count(*) AS BIGINT) AS n_users
+      FROM a GROUP BY cohort_week, week),
+s AS (SELECT cohort_week, n_users AS cohort_size FROM g
+      WHERE week = cohort_week)
+SELECT g.cohort_week, g.week, g.n_users,
+       CAST((g.n_users * 1000) // s.cohort_size AS BIGINT)
+         AS retention_permille
+FROM g JOIN s USING (cohort_week)
 """,
     "events_sessions": f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -42,6 +42,8 @@ NAMES = [
     "events_sessions",
     "events_type_stats",
     "events_props_stats",
+    "events_cohorts",
+    "events_funnel",
     "q1_pricing_summary",
     "q3_top_orders",
     "top_parts_by_revenue",
@@ -323,3 +325,69 @@ def test_embed_kmeans_semantics(ray_session, sf_dir):
     # than one non-trivial cluster
     sizes = df.groupby("cluster").size()
     assert len(sizes) >= 2 and sizes.max() < len(df)
+
+
+def test_events_cohorts_semantics(ray_session, sf_dir):
+    """Diagonal cells carry retention 1000 (every user is active in their
+    first week); no activity cell precedes its cohort week; per-cohort
+    user counts never exceed the cohort size."""
+    from clangd_to_neo4j_ray.stages.windows import events_cohorts
+
+    from .util import to_pandas
+
+    df = to_pandas(events_cohorts(sf_dir))
+    diag = df[df["week"] == df["cohort_week"]]
+    assert len(diag) > 0 and (diag["retention_permille"] == 1000).all()
+    assert (df["week"] >= df["cohort_week"]).all()
+    size = diag.set_index("cohort_week")["n_users"]
+    assert (df["n_users"] <= df["cohort_week"].map(size)).all()
+
+
+def test_events_funnel_ordering_fixture(ray_session, tmp_path):
+    """Hand-built events pin the strict after-ordering: clicks before the
+    first signup never count, purchases before the qualifying click never
+    count, and conversion is relative to step 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.windows import events_funnel
+
+    def ev(i, user, typ, minute):
+        return {
+            "event_id": i,
+            "ts": minute * 60_000_000,
+            "user_id": user,
+            "event_type": typ,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(0, 1, "signup", 0), ev(1, 1, "click", 10), ev(2, 1, "purchase", 20),
+        # user 2: click BEFORE signup -> stops at step 1
+        ev(3, 2, "click", 0), ev(4, 2, "signup", 10),
+        # user 3: purchase before its click -> stops at step 2
+        ev(5, 3, "signup", 0), ev(6, 3, "purchase", 5), ev(7, 3, "click", 10),
+        # user 4: never signed up -> not even step 1
+        ev(8, 4, "click", 0), ev(9, 4, "purchase", 10),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows]),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+            "props": pa.array([r["props"] for r in rows]),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+
+    df = events_funnel(str(sf)).to_pandas().set_index("step")
+    assert df.loc[1, "n_users"] == 3  # users 1, 2, 3
+    assert df.loc[2, "n_users"] == 2  # users 1, 3
+    assert df.loc[3, "n_users"] == 1  # user 1
+    assert df.loc[3, "conversion_permille"] == 1000 // 3
