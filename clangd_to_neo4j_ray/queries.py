@@ -74,6 +74,11 @@ from .stages import similarity as _sim_front
 register(
     "embed_kmeans", _sim_front.embed_kmeans, _sim_front.ORACLE_SQL["embed_kmeans"]
 )
+register(
+    "cluster_balanced_sample",
+    _sim_front.cluster_balanced_sample,
+    _sim_front.ORACLE_SQL["cluster_balanced_sample"],
+)
 from .stages import windows as _win_front
 
 register(

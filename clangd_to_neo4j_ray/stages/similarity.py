@@ -634,3 +634,49 @@ SELECT vec_id, cluster, dist2 FROM (
 
 
 ORACLE_SQL["embed_kmeans"] = _kmeans_oracle_sql()
+
+
+KMEANS_SAMPLE_N = 30  # per-cluster quota for the balanced sample
+
+
+def cluster_balanced_sample(sf_dir: str) -> ray.data.Dataset:
+    """Cluster-balanced corpus sampling — the curation stage k-means exists
+    for: a deterministic md5-ordered quota of KMEANS_SAMPLE_N vectors per
+    k-means cluster, so over-represented embedding regions can't dominate
+    a training mix (the cluster-balanced selection of DoReMi/D4-style
+    pipelines, with the model swapped for the oracle-checkable integer
+    k-means).  Output: (cluster, vec_id, dist2).
+
+    Plan: the :func:`embed_kmeans` assignment scan feeds
+    ``grouped_head_n`` (bounded-reducer per-group head-n): each block
+    ships at most N rows per cluster into ONE bucketed exchange.  The
+    md5 sort key is the repo's SQL-reproducible pseudo-random order
+    (``functions/hashing``)."""
+    from ..functions.duck import sql_over
+    from .packing import grouped_head_n
+
+    assigned = embed_kmeans(sf_dir)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return sql_over(
+            "SELECT cluster, vec_id, dist2,"
+            " md5(CAST(vec_id AS VARCHAR)) AS rnd FROM t",
+            t=t,
+        )
+
+    keyed = assigned.map_batches(add_key, batch_format="pyarrow")
+    head = grouped_head_n(
+        keyed, "cluster", ["rnd", "vec_id"], [True, True], KMEANS_SAMPLE_N
+    )
+    return head.select_columns(["cluster", "vec_id", "dist2"])
+
+
+ORACLE_SQL["cluster_balanced_sample"] = f"""
+WITH km AS ({ORACLE_SQL["embed_kmeans"]})
+SELECT cluster, vec_id, dist2 FROM (
+  SELECT cluster, vec_id, dist2,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM km) WHERE rk <= {KMEANS_SAMPLE_N}
+"""

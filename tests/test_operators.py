@@ -17,6 +17,7 @@ NAMES = [
     "pii_scrub",
     "tfidf_top_terms",
     "embed_kmeans",
+    "cluster_balanced_sample",
     "dedup_clusters",
     "dedup_cluster_quality",
     "text_quality",
@@ -391,3 +392,20 @@ def test_events_funnel_ordering_fixture(ray_session, tmp_path):
     assert df.loc[2, "n_users"] == 2  # users 1, 3
     assert df.loc[3, "n_users"] == 1  # user 1
     assert df.loc[3, "conversion_permille"] == 1000 // 3
+
+
+def test_cluster_balanced_sample_quota(ray_session, sf_dir):
+    """Per-cluster quota holds; small clusters keep everything; the
+    sample is a subset of the full assignment."""
+    from clangd_to_neo4j_ray.stages import similarity as _sim
+
+    from .util import to_pandas
+
+    full = to_pandas(_sim.embed_kmeans(sf_dir))
+    samp = to_pandas(_sim.cluster_balanced_sample(sf_dir))
+    sizes = full.groupby("cluster").size()
+    got = samp.groupby("cluster").size()
+    for c, n in got.items():
+        assert n == min(_sim.KMEANS_SAMPLE_N, sizes[c])
+    merged = samp.merge(full, on=["cluster", "vec_id", "dist2"])
+    assert len(merged) == len(samp)
