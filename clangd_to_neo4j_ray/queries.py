@@ -46,9 +46,6 @@ for _name, _fn in [
     ("nation_order_stats", _rel.nation_order_stats),
     ("orders_rank_window", _rel.orders_rank_window),
     ("lineitem_quantiles", _rel.lineitem_quantiles),
-    ("q1_pricing_summary", _rel.q1_pricing_summary),
-    ("q3_top_orders", _rel.q3_top_orders),
-    ("top_parts_by_revenue", _rel.top_parts_by_revenue),
 ]:
     register(_name, _fn, _rel.ORACLE_SQL[_name])
 
@@ -90,6 +87,11 @@ register(
     "events_funnel",
     _win_front.events_funnel,
     _win_front.ORACLE_SQL["events_funnel"],
+)
+from .stages import profiling as _prof
+
+register(
+    "schema_profile", _prof.schema_profile, _prof.ORACLE_SQL["schema_profile"]
 )
 register("pii_scrub", _text.pii_scrub, _text.ORACLE_SQL["pii_scrub"])
 register(
@@ -326,12 +328,18 @@ register("ann_lsh_topk", _sim.ann_lsh_topk, _sim.ORACLE_SQL["ann_lsh_topk"])
 register("ann_ivf_topk", _sim.ann_ivf_topk, _sim.ORACLE_SQL["ann_ivf_topk"])
 register("ann_recall", _sim.ann_recall, _sim.ORACLE_SQL["ann_recall"])
 
-# --- r4-artifact-verified sampling/splitting rows + the rows-only
-# multimodal summary — moved past the 50-entry artifact window to keep
-# every never-verified query inside it (the window invariant is pinned by
-# tests/test_registry.py) ---
+# --- r4-artifact-verified sampling/splitting/relational rows + the
+# rows-only multimodal summary — moved past the 50-entry artifact window
+# to keep never-verified queries inside it (the window invariant is
+# pinned by tests/test_registry.py) ---
 for _name in ("split_train_val", "sample_stratified", "split_contamination"):
     register(_name, getattr(_sampling, _name), _sampling.ORACLE_SQL[_name])
+for _name, _fn in [
+    ("q1_pricing_summary", _rel.q1_pricing_summary),
+    ("q3_top_orders", _rel.q3_top_orders),
+    ("top_parts_by_revenue", _rel.top_parts_by_revenue),
+]:
+    register(_name, _fn, _rel.ORACLE_SQL[_name])
 register("multimodal_features", _mm.multimodal_features)  # rows-only
 
 # --- event windows / sessions (unchanged since r3; judged green — tail) ---

@@ -45,6 +45,7 @@ NAMES = [
     "events_props_stats",
     "events_cohorts",
     "events_funnel",
+    "schema_profile",
     "q1_pricing_summary",
     "q3_top_orders",
     "top_parts_by_revenue",
@@ -409,3 +410,36 @@ def test_cluster_balanced_sample_quota(ray_session, sf_dir):
         assert n == min(_sim.KMEANS_SAMPLE_N, sizes[c])
     merged = samp.merge(full, on=["cluster", "vec_id", "dist2"])
     assert len(merged) == len(samp)
+
+
+def test_schema_profile_nulls_and_distinct(ray_session, tmp_path):
+    """Null handling pinned on a hand-built table (the sf corpora have no
+    nulls): nulls are excluded from distinct/min/max but counted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clangd_to_neo4j_ray.stages.profiling import profile_table
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", None, "a", "b"]),
+            "lang": pa.array([None, None, "en", "en"]),
+            "source": pa.array(["s", "s", "s", "s"]),
+            "n_chars": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+    df = (
+        profile_table(ray.data.read_parquet(str(sf / "documents.parquet")))
+        .to_pandas()
+        .set_index("col")
+    )
+    assert (df["n_rows"] == 4).all()
+    assert df.loc["text", "n_nulls"] == 1 and df.loc["text", "n_distinct"] == 2
+    assert df.loc["lang", "n_nulls"] == 2 and df.loc["lang", "n_distinct"] == 1
+    assert df.loc["text", "min_str"] == "a" and df.loc["text", "max_str"] == "b"
+    assert df.loc["source", "n_distinct"] == 1
