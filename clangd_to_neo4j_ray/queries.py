@@ -93,6 +93,16 @@ from .stages import profiling as _prof
 register(
     "schema_profile", _prof.schema_profile, _prof.ORACLE_SQL["schema_profile"]
 )
+register(
+    "trending_tokens",
+    _text.trending_tokens,
+    _text.ORACLE_SQL["trending_tokens"],
+)
+register(
+    "langid_confusion",
+    _text.langid_confusion,
+    _text.ORACLE_SQL["langid_confusion"],
+)
 register("pii_scrub", _text.pii_scrub, _text.ORACLE_SQL["pii_scrub"])
 register(
     "vocab_top_tokens", _text.vocab_top_tokens, _text.ORACLE_SQL["vocab_top_tokens"]

@@ -163,6 +163,117 @@ def vocab_top_tokens(sf_dir: str, *, k: int = VOCAB_K) -> ray.data.Dataset:
     )
 
 
+def langid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Label-vs-guess confusion matrix for the language-ID heuristic —
+    the corpus-level accuracy readout a curation run gates on before
+    trusting ``lang_guess`` as a filter (the per-doc rule is
+    ``text_langid``'s; reference analog: the kind-histogram QA readout,
+    ``clangd_symbol_nodes_builder.py`` kind counts).
+
+    Output: (lang, lang_guess, n_docs).  Plan: the guess is computed
+    batch-local exactly as ``text_langid`` does, then pre-aggregated to
+    (lang, guess) partial counts inside the same ``map_batches`` — the
+    exchange ships O(langs x 2) rows per block, never per-doc rows."""
+    from .shuffle import grouped_agg
+
+    ds = _read_docs(sf_dir, ["text", "lang"])
+    stop_arr = pa.array(STOPWORDS, type=pa.string())
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, _pos, parents = explode_tokens(batch)
+        is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(parents[is_stop], minlength=len(batch))
+        guess = np.where(n_stop >= LANGID_MIN_STOPWORDS, "en", "other")
+        t = pa.table(
+            {"lang": batch["lang"], "lang_guess": pa.array(guess, type=pa.string())}
+        )
+        return (
+            t.group_by(["lang", "lang_guess"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "lang_guess", "n_docs"])
+        )
+
+    return grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["lang", "lang_guess"],
+        {"n_docs": ("n_docs", "sum")},
+    )
+
+
+TREND_K = 5  # tokens reported per time bucket
+
+
+def trending_tokens(sf_dir: str, *, k: int = TREND_K) -> ray.data.Dataset:
+    """Per-minute trending tokens over the pages crawl timeline: the k
+    most frequent tokens of every ``warc_ts`` minute bucket, each with its
+    count in the PREVIOUS minute and the delta — the crawl-monitoring
+    readout (which terms are surging right now) over the input_hint
+    timestamp column.
+
+    Output: (minute, tok, n, n_prev, delta) — ``minute`` is the epoch
+    minute index of ``warc_ts``, top-k per minute by (n desc, tok asc).
+
+    Plan (single-exchange lag, no self-join): each batch emits its
+    partial (minute, tok) counts TWICE — once under the bucket's own key
+    carrying ``n``, once under ``minute+1`` carrying ``n_prev`` — so one
+    ``grouped_agg`` exchange sums both columns and the previous-minute
+    lag falls out without a second pass over the counts (a self-join on
+    ``minute-1`` would execute the upstream count plan twice and pay a
+    second all-to-all).  Carrier-only rows (token absent from the current
+    minute, n == 0) are dropped after the exchange; ``grouped_head_n``
+    then bounds the final top-k exchange to k rows per minute per block."""
+    from ..sources.pages import documents_as_pages
+    from .packing import grouped_head_n
+    from .shuffle import grouped_agg
+
+    pages = documents_as_pages(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        minute = pc.divide(
+            pc.cast(batch["warc_ts"], pa.int64()), 60_000_000
+        )  # us -> epoch minute
+        flat, _pos, parents = explode_tokens(batch)
+        t = pa.table({"minute": minute.take(pa.array(parents)), "tok": flat})
+        cnt = (
+            t.group_by(["minute", "tok"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["minute", "tok", "n"])
+        )
+        zeros = pa.array(np.zeros(len(cnt), dtype=np.int64))
+        cur = pa.table(
+            {"minute": cnt["minute"], "tok": cnt["tok"], "n": cnt["n"], "n_prev": zeros}
+        )
+        prv = pa.table(
+            {
+                "minute": pc.add(cnt["minute"], 1),
+                "tok": cnt["tok"],
+                "n": zeros,
+                "n_prev": cnt["n"],
+            }
+        )
+        return pa.concat_tables([cur, prv])
+
+    counts = grouped_agg(
+        pages.map_batches(partials, batch_format="pyarrow"),
+        ["minute", "tok"],
+        {"n": ("n", "sum"), "n_prev": ("n_prev", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 0))
+        return t.append_column("delta", pc.subtract(t["n"], t["n_prev"]))
+
+    ranked = counts.map_batches(finish, batch_format="pyarrow")
+    return grouped_head_n(
+        ranked,
+        "minute",
+        ["minute", "n", "tok"],
+        [True, False, True],
+        k,
+        out_cols=["minute", "tok", "n", "n_prev", "delta"],
+    )
+
+
 _BPE_WORD = r"[a-z]+"
 _BPE_NUM = r"[0-9]+"
 _BPE_OTHER = r"[^a-z0-9 ]"
@@ -738,6 +849,40 @@ SELECT d.doc_id, d.lang,
        CASE WHEN ns.n_stop >= {LANGID_MIN_STOPWORDS} THEN 'en' ELSE 'other' END
          AS lang_guess
 FROM documents d JOIN ns ON d.doc_id = ns.doc_id
+""",
+    # pages adapter contract (sources/pages.py): warc_ts =
+    # 2025-01-01T00:00:00Z + doc_id seconds -> epoch minute below
+    "trending_tokens": f"""
+WITH {_SQL_TOK},
+cnt AS (
+  SELECT CAST((1735689600 + doc_id) // 60 AS BIGINT) AS minute, tok,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2
+),
+lagged AS (
+  SELECT c.minute, c.tok, c.n,
+         CAST(coalesce(p.n, 0) AS BIGINT) AS n_prev
+  FROM cnt c LEFT JOIN cnt p
+    ON p.minute = c.minute - 1 AND p.tok = c.tok
+),
+r AS (
+  SELECT minute, tok, n, n_prev, n - n_prev AS delta,
+         row_number() OVER (PARTITION BY minute ORDER BY n DESC, tok) AS rk
+  FROM lagged
+)
+SELECT minute, tok, n, n_prev, CAST(delta AS BIGINT) AS delta
+FROM r WHERE rk <= {TREND_K}
+""",
+    "langid_confusion": f"""
+WITH {_SQL_TOK},
+ns AS (SELECT doc_id, count(*) FILTER (tok IN ({_STOP_LIST})) AS n_stop
+       FROM tok GROUP BY doc_id),
+g AS (SELECT d.lang,
+             CASE WHEN ns.n_stop >= {LANGID_MIN_STOPWORDS}
+                  THEN 'en' ELSE 'other' END AS lang_guess
+      FROM documents d JOIN ns ON d.doc_id = ns.doc_id)
+SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+FROM g GROUP BY lang, lang_guess
 """,
     "text_token_totals": f"""
 WITH {_SQL_TOK},

@@ -22,6 +22,8 @@ NAMES = [
     "dedup_cluster_quality",
     "text_quality",
     "text_langid",
+    "langid_confusion",
+    "trending_tokens",
     "text_token_totals",
     "vocab_top_tokens",
     "text_fingerprint",
@@ -167,6 +169,52 @@ def test_rag_chunks_long_docs_match_bruteforce(tmp_path):
             expected[(i, c)] = (len(window), " ".join(window))
 
     assert got == expected
+
+
+def test_trending_tokens_semantics(ray_session, sf_dir):
+    """Structural pins beyond oracle parity: at most k rows per minute,
+    delta arithmetic is exact, and n_prev equals the token's TRUE full
+    count in the previous minute (recomputed independently in DuckDB) —
+    guards the single-exchange lag plan (the +1-minute carrier rows)
+    against partial-count leakage."""
+    from clangd_to_neo4j_ray.stages.text import TREND_K, trending_tokens
+
+    rows = trending_tokens(sf_dir).take_all()
+    assert rows
+    per_minute: dict = {}
+    for r in rows:
+        assert r["delta"] == r["n"] - r["n_prev"]
+        per_minute.setdefault(r["minute"], []).append(r)
+    assert all(len(v) <= TREND_K for v in per_minute.values())
+
+    from .util import duckdb_con
+
+    con = duckdb_con(sf_dir)
+    truth = con.sql(
+        "SELECT CAST((1735689600 + doc_id) // 60 AS BIGINT) AS minute, tok,"
+        " CAST(count(*) AS BIGINT) AS n FROM (SELECT doc_id,"
+        " unnest(string_split(text, ' ')) AS tok FROM documents)"
+        " GROUP BY 1, 2"
+    ).df()
+    con.close()
+    full = {(m, t): n for m, t, n in truth.itertuples(index=False)}
+    for r in rows:
+        assert r["n"] == full[(r["minute"], r["tok"])]
+        assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_langid_confusion_totals(ray_session, sf_dir):
+    """The confusion matrix partitions the corpus: cell counts sum to the
+    document count and every labeled lang appears."""
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.text import langid_confusion
+
+    rows = langid_confusion(sf_dir).take_all()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"])
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    assert {r["lang"] for r in rows} == set(docs["lang"].to_pylist())
+    assert {r["lang_guess"] for r in rows} <= {"en", "other"}
 
 
 def test_vocab_top_tokens_k_prefix(sf_dir):
