@@ -103,6 +103,9 @@ register(
     _text.langid_confusion,
     _text.ORACLE_SQL["langid_confusion"],
 )
+register(
+    "source_overlap", _text.source_overlap, _text.ORACLE_SQL["source_overlap"]
+)
 register("pii_scrub", _text.pii_scrub, _text.ORACLE_SQL["pii_scrub"])
 register(
     "vocab_top_tokens", _text.vocab_top_tokens, _text.ORACLE_SQL["vocab_top_tokens"]

@@ -9,6 +9,7 @@ integer-valued to keep the oracle comparison rounding-free.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -726,6 +727,58 @@ def shingle_rows(
     return parents[: n - k + 1][mask], sh
 
 
+def source_overlap(sf_dir: str, *, k: int = FINGERPRINT_K) -> ray.data.Dataset:
+    """Cross-source contamination matrix: for every source pair, the
+    number of DISTINCT k-token shingles that occur in both — the corpus
+    overlap audit run before mixing sources into a training blend (the
+    between-source analog of the within-split ``split_contamination``
+    check; RefinedWeb/Dolma-style overlap analysis).
+
+    Output: (source_a, source_b, n_shared), source_a < source_b.
+
+    Plan: per-batch DISTINCT (shingle, source) pairs (one Arrow group_by —
+    the exchange ships each block's shingle VOCABULARY per source, not the
+    occurrence stream), one bucketed exchange keyed on the shingle, then a
+    per-bucket vectorized self-merge expands each shingle's source set
+    into ordered pairs and pre-counts them; a final O(sources^2)-row
+    ``grouped_agg`` sums the partials.  Per-shingle pair fan-out is
+    bounded by #sources^2 regardless of how many documents share the
+    shingle (sets are deduplicated before pairing), so there is no hot-key
+    blowup and no df cap is needed — unlike the doc-level inverted index."""
+    from .shuffle import bucketed_group_agg, grouped_agg
+
+    ds = _read_docs(sf_dir, ["text", "source"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        parents, sh = shingle_rows(batch, k)
+        t = pa.table(
+            {"s": sh, "source": batch["source"].take(pa.array(parents))}
+        )
+        return t.group_by(["s", "source"]).aggregate([])
+
+    distinct_pairs = ds.map_batches(partials, batch_format="pyarrow")
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["s", "source"])
+        m = df.merge(df, on="s")
+        m = m[m["source_x"] < m["source_y"]]
+        out = (
+            m.groupby(["source_x", "source_y"], sort=False)
+            .size()
+            .reset_index(name="n_shared")
+        )
+        return out.rename(
+            columns={"source_x": "source_a", "source_y": "source_b"}
+        )
+
+    partial_counts = bucketed_group_agg(distinct_pairs, ["s"], pair_counts)
+    return grouped_agg(
+        partial_counts,
+        ["source_a", "source_b"],
+        {"n_shared": ("n_shared", "sum")},
+    )
+
+
 def text_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Winnowing-style document fingerprint: min md5 over 5-token shingles.
 
@@ -1003,6 +1056,27 @@ SELECT per.source, per.n_tokens,
        CAST((tot.total * 1000) // (tot.n_src * per.n_tokens) AS BIGINT)
          AS weight_permille
 FROM per CROSS JOIN tot
+""",
+    "source_overlap": f"""
+WITH {_SQL_TOK},
+sh AS (
+  SELECT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' ' || e.tok
+           AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+  JOIN tok d ON a.doc_id = d.doc_id AND d.i = a.i + 3
+  JOIN tok e ON a.doc_id = e.doc_id AND e.i = a.i + 4
+),
+ss AS (
+  SELECT DISTINCT d.source, h.s
+  FROM sh h JOIN documents d ON d.doc_id = h.doc_id
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+GROUP BY a.source, b.source
 """,
     "text_fingerprint": f"""
 WITH {_SQL_TOK},

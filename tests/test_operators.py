@@ -24,6 +24,7 @@ NAMES = [
     "text_langid",
     "langid_confusion",
     "trending_tokens",
+    "source_overlap",
     "text_token_totals",
     "vocab_top_tokens",
     "text_fingerprint",
@@ -201,6 +202,53 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_source_overlap_pair_order_and_bounds(ray_session, sf_dir):
+    """Pairs are strictly ordered (source_a < source_b, no diagonal and no
+    mirrored duplicates) and every shared count is positive and bounded by
+    the smaller side's distinct-shingle vocabulary."""
+    from clangd_to_neo4j_ray.stages.text import source_overlap
+
+    from .util import duckdb_con
+
+    rows = source_overlap(sf_dir).take_all()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared"] >= 1
+        key = (r["source_a"], r["source_b"])
+        assert key not in seen
+        seen.add(key)
+
+    con = duckdb_con(sf_dir)
+    vocab = dict(
+        con.sql(
+            "SELECT source, count(DISTINCT s) FROM (SELECT d.source,"
+            " a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || dd.tok ||"
+            " ' ' || e.tok AS s FROM"
+            " (SELECT doc_id, unnest(string_split(text,' ')) AS tok,"
+            "  generate_subscripts(string_split(text,' '),1) AS i"
+            "  FROM documents) a"
+            " JOIN (SELECT doc_id, unnest(string_split(text,' ')) AS tok,"
+            "  generate_subscripts(string_split(text,' '),1) AS i"
+            "  FROM documents) b ON a.doc_id=b.doc_id AND b.i=a.i+1"
+            " JOIN (SELECT doc_id, unnest(string_split(text,' ')) AS tok,"
+            "  generate_subscripts(string_split(text,' '),1) AS i"
+            "  FROM documents) c ON a.doc_id=c.doc_id AND c.i=a.i+2"
+            " JOIN (SELECT doc_id, unnest(string_split(text,' ')) AS tok,"
+            "  generate_subscripts(string_split(text,' '),1) AS i"
+            "  FROM documents) dd ON a.doc_id=dd.doc_id AND dd.i=a.i+3"
+            " JOIN (SELECT doc_id, unnest(string_split(text,' ')) AS tok,"
+            "  generate_subscripts(string_split(text,' '),1) AS i"
+            "  FROM documents) e ON a.doc_id=e.doc_id AND e.i=a.i+4"
+            " JOIN documents d ON d.doc_id = a.doc_id) GROUP BY source"
+        ).fetchall()
+    )
+    con.close()
+    for r in rows:
+        assert r["n_shared"] <= min(vocab[r["source_a"]], vocab[r["source_b"]])
 
 
 def test_langid_confusion_totals(ray_session, sf_dir):
