@@ -176,6 +176,72 @@ def kg_entity_nodes(sf_dir: str) -> ray.data.Dataset:
     return per_entity.map_batches(finish, batch_format="pyarrow")
 
 
+def kg_entity_salience(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide entity salience: mention frequency weighted by how
+    early the entity first appears in each document (lead mentions signal
+    topicality — the standard position-discounted salience heuristic).
+
+    Output: (entity_id, name, n_docs, n_mentions, salience) where
+    ``salience`` = sum over mentioning docs of ``1000 * n_doc_mentions //
+    first_pos`` (1-based first token position; integer-exact so the
+    oracle comparison is rounding-free).
+
+    Plan: ZERO per-doc exchanges — doc atomicity (see ``kg_mentions``)
+    makes the per-batch (doc, name) count+min-position rows globally
+    complete, so the per-doc salience term is computed batch-local and
+    pre-summed per name; the only exchange ships O(vocab) partial rows
+    per block into one ``grouped_agg``."""
+    from ..stages.shuffle import grouped_agg
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, pos, parents = explode_tokens(batch)
+        mask = pc.is_in(flat, value_set=_VOCAB_ARRAY).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.nonzero(mask)[0]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parents[idx]]
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "name": flat.take(pa.array(idx)),
+                "pos": pa.array(pos[idx] + 1),  # 1-based, as the oracle's i
+            }
+        )
+        per_doc = t.group_by(["doc_id", "name"]).aggregate(
+            [([], "count_all"), ("pos", "min")]
+        )
+        n = per_doc["count_all"].to_numpy(zero_copy_only=False)
+        first = per_doc["pos_min"].to_numpy(zero_copy_only=False)
+        sal = pa.table(
+            {
+                "name": per_doc["name"],
+                "n_docs": pa.array(np.ones(len(per_doc), dtype=np.int64)),
+                "n_mentions": pa.array(n.astype(np.int64)),
+                "salience": pa.array((1000 * n) // first),
+            }
+        )
+        return (
+            sal.group_by(["name"])
+            .aggregate([("n_docs", "sum"), ("n_mentions", "sum"), ("salience", "sum")])
+            .rename_columns(["name", "n_docs", "n_mentions", "salience"])
+        )
+
+    per_entity = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["name"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "n_mentions": ("n_mentions", "sum"),
+            "salience": ("salience", "sum"),
+        },
+    )
+    return per_entity.map_batches(
+        _add_entity_id_for("name"), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stage: triple extraction + canonicalization shuffle (J4 + D5 analogs)
 # ---------------------------------------------------------------------------
@@ -848,6 +914,20 @@ SELECT substr(md5(t.tok), 1, 16) AS entity_id, t.tok AS name, v.kind,
        CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs
 FROM tok t JOIN vocab v ON t.tok = v.name
 GROUP BY t.tok, v.kind
+""",
+    "kg_entity_salience": f"""
+WITH {SQL_TOK}, {SQL_VOCAB},
+m AS (
+  SELECT t.doc_id, t.tok AS name, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(t.i) AS BIGINT) AS first_pos
+  FROM tok t JOIN vocab v ON t.tok = v.name
+  GROUP BY t.doc_id, t.tok
+)
+SELECT substr(md5(name), 1, 16) AS entity_id, name,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_mentions,
+       CAST(sum((1000 * n) // first_pos) AS BIGINT) AS salience
+FROM m GROUP BY name
 """,
     "kg_triples": f"""
 WITH {SQL_TOK}, {SQL_VOCAB},

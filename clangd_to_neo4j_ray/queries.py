@@ -66,6 +66,11 @@ register(
     _dkg_front.kg_cooccurrence,
     _dkg_front.ORACLE_SQL["kg_cooccurrence"],
 )
+register(
+    "kg_entity_salience",
+    _dkg_front.kg_entity_salience,
+    _dkg_front.ORACLE_SQL["kg_entity_salience"],
+)
 from .stages import similarity as _sim_front
 
 register(

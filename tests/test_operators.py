@@ -14,6 +14,7 @@ NAMES = [
     "kg_components",
     "kg_pagerank",
     "kg_head_entities",
+    "kg_entity_salience",
     "pii_scrub",
     "tfidf_top_terms",
     "embed_kmeans",
@@ -202,6 +203,25 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_kg_entity_salience_consistent_with_entity_nodes(ray_session, sf_dir):
+    """Salience totals reconcile with kg_entity_nodes: same entity set,
+    identical n_docs/n_mentions, and the position-discounted score is
+    bounded by 1000 * n_mentions (first_pos >= 1)."""
+    from clangd_to_neo4j_ray.pipelines.docs_kg import (
+        kg_entity_nodes,
+        kg_entity_salience,
+    )
+
+    sal = {r["name"]: r for r in kg_entity_salience(sf_dir).take_all()}
+    nodes = {r["name"]: r for r in kg_entity_nodes(sf_dir).take_all()}
+    assert sal.keys() == nodes.keys()
+    for name, r in sal.items():
+        assert r["n_docs"] == nodes[name]["n_docs"]
+        assert r["n_mentions"] == nodes[name]["n_mentions"]
+        assert r["entity_id"] == nodes[name]["entity_id"]
+        assert 0 < r["salience"] <= 1000 * r["n_mentions"]
 
 
 def test_source_overlap_pair_order_and_bounds(ray_session, sf_dir):

@@ -68,8 +68,11 @@ def test_never_artifact_verified_queries_fit_truncation_window():
     names = list(QUERIES)
     late = [n for n in names if n not in verified and names.index(n) >= 50]
     # value-exact SQL oracle + dedicated determinism tests in
-    # tests/test_enrich_multimodal.py; documented in BASELINE.md
-    allowed_overflow = {"video_frame_samples"}
+    # tests/test_enrich_multimodal.py; documented in BASELINE.md.
+    # multimodal_feature_words: displaced by the round-5 front-block
+    # additions; carries its own pytest oracle-parity test
+    # (tests/test_enrich_multimodal.py::test_multimodal_feature_words_oracle).
+    allowed_overflow = {"video_frame_samples", "multimodal_feature_words"}
     assert set(late) <= allowed_overflow, (
         f"undocumented never-verified queries beyond position 50: "
         f"{sorted(set(late) - allowed_overflow)}"
