@@ -93,6 +93,11 @@ register(
     _win_front.events_funnel,
     _win_front.ORACLE_SQL["events_funnel"],
 )
+register(
+    "events_interarrival",
+    _win_front.events_interarrival,
+    _win_front.ORACLE_SQL["events_interarrival"],
+)
 from .stages import profiling as _prof
 
 register(

@@ -3,6 +3,7 @@ vs their DuckDB oracles, driven through the central registry."""
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pytest
 
 from clangd_to_neo4j_ray.queries import ORACLE, QUERIES
@@ -49,6 +50,7 @@ NAMES = [
     "events_props_stats",
     "events_cohorts",
     "events_funnel",
+    "events_interarrival",
     "schema_profile",
     "q1_pricing_summary",
     "q3_top_orders",
@@ -203,6 +205,47 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_events_interarrival_totals_and_bucket_edges(ray_session, sf_dir):
+    """Gap counts sum to n_events - n_users (one gap per consecutive pair
+    per user), and a fixture pins the log2 bucket edges exactly at powers
+    of two (gap 0s -> 0, 1s -> 1, 2s -> 1, 3s -> 2, 4s -> 2 ... under
+    floor(log2(gap_sec + 1)))."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from clangd_to_neo4j_ray.stages.windows import events_interarrival
+
+    rows = events_interarrival(sf_dir).take_all()
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n_users = len(set(ev["user_id"].to_pylist()))
+    assert sum(r["n_gaps"] for r in rows) == len(ev) - n_users
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        gaps_sec = [0, 1, 2, 3, 4, 7, 8]  # buckets 0,1,1,2,2,3,3
+        ts = [0]
+        for g in gaps_sec:
+            ts.append(ts[-1] + g * 1_000_000)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(ts)), type=pa.int64()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array([1] * len(ts), type=pa.int64()),
+                "event_type": pa.array(["e"] * len(ts), type=pa.string()),
+                "value": pa.array([0.0] * len(ts)),
+                "props": pa.array(["{}"] * len(ts), type=pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = {
+            r["gap_bucket"]: r["n_gaps"]
+            for r in events_interarrival(d).take_all()
+        }
+    assert got == {0: 1, 1: 2, 2: 2, 3: 2}
 
 
 def test_kg_entity_salience_consistent_with_entity_nodes(ray_session, sf_dir):
