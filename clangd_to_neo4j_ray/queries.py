@@ -219,6 +219,7 @@ register(
 register(
     "link_cocitation", _lg.link_cocitation, _lg.ORACLE_SQL["link_cocitation"]
 )
+register("link_bowtie", _lg.link_bowtie, _lg.ORACLE_SQL["link_bowtie"])
 register(
     "link_host_pagerank_weighted",
     _lg.link_host_pagerank_weighted,

@@ -44,6 +44,7 @@ per-partition checkpointed build (``pipelines/weblink.py``).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -571,6 +572,157 @@ def link_host_pagerank(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def link_bowtie(sf_dir: str) -> ray.data.Dataset:
+    """Bow-tie decomposition of the host link graph (Broder et al. 2000,
+    the classic web-graph macro-structure): pick the most-linked host as
+    the pivot, compute its forward and backward reachability, and
+    classify every host as ``core`` (in both — the pivot's SCC plus
+    bidirectionally-connected hosts), ``in`` (reaches the core), ``out``
+    (reached from the core) or ``disc`` (neither).
+
+    Output: (host, region, hops_from, hops_to) — BFS distances from/to
+    the pivot, -1 when unreachable.
+
+    Plan: the edge list is materialized ONCE (it feeds the degree scan
+    and both BFS directions; at web scale it stays as object-store
+    blocks, never on the driver).  Pivot selection is a bounded reduce:
+    per-block top-1 by (degree desc, host asc), O(blocks) rows to the
+    driver.  Each BFS is ``reachable_from_ds`` (broadcast frontier under
+    the threshold, bucketed semi-joins above).  Classification is
+    join-free: the host universe and both reach sets are tagged and
+    unioned, one ``grouped_agg`` max-fold per host recovers membership
+    flags and distances (each host has exactly one row per branch, so
+    max over the -1 sentinel is exact)."""
+    return bowtie_from_edges(web_link_graph(sf_dir))
+
+
+def bowtie_from_edges(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str = "n_links",
+) -> ray.data.Dataset:
+    """Bow-tie classification over an arbitrary weighted edge Dataset —
+    the engine-level operator behind ``link_bowtie`` (separated so tests
+    can drive region coverage with hand-built graphs)."""
+    from .graph_algo import reachable_from_ds
+    from .shuffle import grouped_agg
+
+    edges = edges.materialize()
+
+    def deg_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [
+                        batch[src_col].combine_chunks(),
+                        batch[dst_col].combine_chunks(),
+                    ]
+                ),
+                "deg": pa.concat_arrays(
+                    [batch[weight_col].combine_chunks()] * 2
+                ),
+            }
+        )
+        return (
+            t.group_by(["host"]).aggregate([("deg", "sum")]).rename_columns(
+                ["host", "deg"]
+            )
+        )
+
+    deg = grouped_agg(
+        edges.map_batches(deg_tag, batch_format="pyarrow"),
+        ["host"],
+        {"deg": ("deg", "sum")},
+    )
+
+    def top1(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        df = batch.to_pandas().sort_values(
+            ["deg", "host"], ascending=[False, True]
+        )
+        return pa.Table.from_pandas(df.head(1), preserve_index=False)
+
+    tops = deg.map_batches(top1, batch_format="pyarrow").take_all()
+    pivot = min(tops, key=lambda r: (-r["deg"], r["host"]))["host"]
+
+    fwd = reachable_from_ds(
+        edges, {pivot}, src_col=src_col, dst_col=dst_col
+    )
+    bwd = reachable_from_ds(
+        edges, {pivot}, src_col=dst_col, dst_col=src_col
+    )
+
+    def base_tag(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        neg = pa.array(np.full(n, -1, dtype=np.int64))
+        zero = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(
+            {
+                "host": batch["host"],
+                "f": zero,
+                "b": zero,
+                "hops_from": neg,
+                "hops_to": neg,
+            }
+        )
+
+    def reach_tag(flag_col: str, hop_col: str):
+        def tag(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            neg = pa.array(np.full(n, -1, dtype=np.int64))
+            one = pa.array(np.ones(n, dtype=np.int64))
+            zero = pa.array(np.zeros(n, dtype=np.int64))
+            cols = {
+                "host": batch["node"],
+                "f": one if flag_col == "f" else zero,
+                "b": one if flag_col == "b" else zero,
+                "hops_from": batch["hops"] if hop_col == "hops_from" else neg,
+                "hops_to": batch["hops"] if hop_col == "hops_to" else neg,
+            }
+            return pa.table(cols)
+
+        return tag
+
+    tagged = (
+        deg.select_columns(["host"])
+        .map_batches(base_tag, batch_format="pyarrow")
+        .union(fwd.map_batches(reach_tag("f", "hops_from"), batch_format="pyarrow"))
+        .union(bwd.map_batches(reach_tag("b", "hops_to"), batch_format="pyarrow"))
+    )
+    folded = grouped_agg(
+        tagged,
+        ["host"],
+        {
+            "f": ("f", "max"),
+            "b": ("b", "max"),
+            "hops_from": ("hops_from", "max"),
+            "hops_to": ("hops_to", "max"),
+        },
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        f = batch["f"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        region = np.where(
+            (f == 1) & (b == 1),
+            "core",
+            np.where(b == 1, "in", np.where(f == 1, "out", "disc")),
+        )
+        return pa.table(
+            {
+                "host": batch["host"],
+                "region": pa.array(region, type=pa.string()),
+                "hops_from": batch["hops_from"],
+                "hops_to": batch["hops_to"],
+            }
+        )
+
+    return folded.map_batches(classify, batch_format="pyarrow")
+
+
 def anchor_entity_links(sf_dir: str) -> ray.data.Dataset:
     """Entity-host evidence from anchor text: anchors whose text IS a
     vocabulary entity become (name, dst_host, n_links) edges — what the
@@ -718,6 +870,43 @@ have AS (
     || CAST(doc_id AS VARCHAR) AS url
   FROM documents)
 SELECT r.url, r.n_refs FROM refs r ANTI JOIN have h ON r.url = h.url
+""",
+    "link_bowtie": f"""
+WITH RECURSIVE
+{_ORACLE_PAGES},
+{_EXTRACT_CTES},
+e AS ({_EDGE_SELECT}),
+deg AS (
+  SELECT host, CAST(sum(d) AS BIGINT) AS deg FROM (
+    SELECT src_host AS host, n_links AS d FROM e
+    UNION ALL SELECT dst_host, n_links FROM e
+  ) GROUP BY host
+),
+pv AS (SELECT host FROM deg ORDER BY deg DESC, host LIMIT 1),
+fwd(node, hops) AS (
+  SELECT host, 0 FROM pv
+  UNION
+  SELECT e.dst_host, f.hops + 1
+  FROM fwd f JOIN e ON e.src_host = f.node WHERE f.hops < 25
+),
+bwd(node, hops) AS (
+  SELECT host, 0 FROM pv
+  UNION
+  SELECT e.src_host, b.hops + 1
+  FROM bwd b JOIN e ON e.dst_host = b.node WHERE b.hops < 25
+),
+f2 AS (SELECT node, min(hops) AS hops FROM fwd GROUP BY node),
+b2 AS (SELECT node, min(hops) AS hops FROM bwd GROUP BY node)
+SELECT d.host,
+       CASE WHEN f2.node IS NOT NULL AND b2.node IS NOT NULL THEN 'core'
+            WHEN b2.node IS NOT NULL THEN 'in'
+            WHEN f2.node IS NOT NULL THEN 'out'
+            ELSE 'disc' END AS region,
+       CAST(coalesce(f2.hops, -1) AS BIGINT) AS hops_from,
+       CAST(coalesce(b2.hops, -1) AS BIGINT) AS hops_to
+FROM deg d
+LEFT JOIN f2 ON f2.node = d.host
+LEFT JOIN b2 ON b2.node = d.host
 """,
     "link_cocitation": f"""
 WITH {_ORACLE_PAGES},

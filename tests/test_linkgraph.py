@@ -201,3 +201,49 @@ def test_link_graph_delta_all_classes(ray_session):
     ch = df[df["status"] == "changed"]
     assert (ch["n_links_a"] != ch["n_links_b"]).all()
     assert (ch["n_links_a"] > 0).all() and (ch["n_links_b"] > 0).all()
+
+
+def test_link_bowtie_matches_oracle(ray_session):
+    assert_matches_oracle(
+        lg.link_bowtie(SF), lg.ORACLE_SQL["link_bowtie"], SF
+    )
+
+
+def test_bowtie_all_regions_on_handbuilt_graph(ray_session):
+    """Full region coverage (the synthesized corpus has no 'in' hosts):
+    in1 -> in2 -> coreA <-> coreB -> out1 -> out2, plus an isolated
+    disc1 <-> disc2 pair.  Pivot = max weighted degree = coreA (weight 9
+    on the core cycle dominates).  Distances are BFS-exact."""
+    import ray as _ray
+
+    from clangd_to_neo4j_ray.stages.linkgraph import bowtie_from_edges
+
+    edges = _ray.data.from_arrow(
+        pa.table(
+            {
+                "src_host": pa.array(
+                    ["in1", "in2", "coreA", "coreB", "coreB", "out1",
+                     "disc1", "disc2"]
+                ),
+                "dst_host": pa.array(
+                    ["in2", "coreA", "coreB", "coreA", "out1", "out2",
+                     "disc2", "disc1"]
+                ),
+                "n_links": pa.array([1, 1, 9, 9, 1, 1, 1, 1], type=pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["host"]: (r["region"], r["hops_from"], r["hops_to"])
+        for r in bowtie_from_edges(edges).take_all()
+    }
+    assert got == {
+        "coreA": ("core", 0, 0),
+        "coreB": ("core", 1, 1),
+        "in1": ("in", -1, 2),
+        "in2": ("in", -1, 1),
+        "out1": ("out", 2, -1),
+        "out2": ("out", 3, -1),
+        "disc1": ("disc", -1, -1),
+        "disc2": ("disc", -1, -1),
+    }
