@@ -81,6 +81,16 @@ register(
     _sim_front.cluster_balanced_sample,
     _sim_front.ORACLE_SQL["cluster_balanced_sample"],
 )
+register(
+    "kmeans_inertia",
+    _sim_front.kmeans_inertia,
+    _sim_front.ORACLE_SQL["kmeans_inertia"],
+)
+register(
+    "kmeans_label_agreement",
+    _sim_front.kmeans_label_agreement,
+    _sim_front.ORACLE_SQL["kmeans_label_agreement"],
+)
 from .stages import windows as _win_front
 
 register(

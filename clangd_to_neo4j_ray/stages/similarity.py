@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -491,7 +492,7 @@ def _assign(q: np.ndarray, cluster_ids: np.ndarray, cents: np.ndarray):
     return cluster_ids[j], dist[np.arange(len(q)), j]
 
 
-def embed_kmeans(sf_dir: str) -> ray.data.Dataset:
+def embed_kmeans(sf_dir: str, *, with_label: bool = False) -> ray.data.Dataset:
     """Distributed Lloyd's k-means over the embedding column — the corpus
     clustering stage of a curation pipeline (domain discovery / cluster-
     balanced sampling), integer-exact end to end so the full iterative
@@ -570,15 +571,80 @@ def embed_kmeans(sf_dir: str) -> ray.data.Dataset:
         cids, c = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
         ids, q = _quantize_batch(batch)
         assign, dist2 = _assign(q, cids, c)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids.astype(np.int64)),
-                "cluster": pa.array(assign.astype(np.int64)),
-                "dist2": pa.array(dist2.astype(np.int64)),
-            }
-        )
+        out = {
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(assign.astype(np.int64)),
+            "dist2": pa.array(dist2.astype(np.int64)),
+        }
+        if with_label:
+            out["label"] = pc.cast(batch["label"], pa.int64())
+        return pa.table(out)
 
     return ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def kmeans_inertia(sf_dir: str) -> ray.data.Dataset:
+    """Per-cluster k-means quality readout (the elbow/diagnostic table):
+    cluster size, total inertia (sum of squared quantized distances) and
+    its integer mean.
+
+    Output: (cluster, n_vecs, inertia, mean_dist2 = inertia // n_vecs).
+    Plan: rides the ``embed_kmeans`` final assignment scan; per-batch
+    partial (cluster, n, dist2-sum) rows bound the one extra exchange to
+    O(k) rows per block."""
+    from .shuffle import grouped_agg
+
+    km = embed_kmeans(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["cluster", "dist2"])
+            .group_by(["cluster"])
+            .aggregate([([], "count_all"), ("dist2", "sum")])
+            .rename_columns(["cluster", "n_vecs", "inertia"])
+        )
+
+    folded = grouped_agg(
+        km.map_batches(partials, batch_format="pyarrow"),
+        ["cluster"],
+        {"n_vecs": ("n_vecs", "sum"), "inertia": ("inertia", "sum")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # both operands non-negative, so Arrow's truncating divide == floor
+        return batch.append_column(
+            "mean_dist2", pc.divide(batch["inertia"], batch["n_vecs"])
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_label_agreement(sf_dir: str) -> ray.data.Dataset:
+    """Cluster-vs-ground-truth cross-tab: how the learned k-means
+    partition lines up with the embeddings table's ``label`` column (the
+    clustering-accuracy readout, same shape as the langid confusion
+    matrix).
+
+    Output: (cluster, label, n_vecs).  Plan: the label column rides the
+    final assignment scan (``with_label`` — zero joins), and per-batch
+    partial counts bound the exchange to O(k x labels) rows per block."""
+    from .shuffle import grouped_agg
+
+    km = embed_kmeans(sf_dir, with_label=True)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["cluster", "label"])
+            .group_by(["cluster", "label"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["cluster", "label", "n_vecs"])
+        )
+
+    return grouped_agg(
+        km.map_batches(partials, batch_format="pyarrow"),
+        ["cluster", "label"],
+        {"n_vecs": ("n_vecs", "sum")},
+    )
 
 
 def _kmeans_oracle_sql() -> str:
@@ -634,6 +700,22 @@ SELECT vec_id, cluster, dist2 FROM (
 
 
 ORACLE_SQL["embed_kmeans"] = _kmeans_oracle_sql()
+
+ORACLE_SQL["kmeans_inertia"] = f"""
+WITH km AS ({ORACLE_SQL["embed_kmeans"]})
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(dist2) AS BIGINT) AS inertia,
+       CAST(sum(dist2) // count(*) AS BIGINT) AS mean_dist2
+FROM km GROUP BY cluster
+"""
+
+ORACLE_SQL["kmeans_label_agreement"] = f"""
+WITH km AS ({ORACLE_SQL["embed_kmeans"]})
+SELECT km.cluster, CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM km JOIN embeddings e ON e.vec_id = km.vec_id
+GROUP BY km.cluster, e.label
+"""
 
 
 KMEANS_SAMPLE_N = 30  # per-cluster quota for the balanced sample

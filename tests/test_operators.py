@@ -20,6 +20,8 @@ NAMES = [
     "tfidf_top_terms",
     "embed_kmeans",
     "cluster_balanced_sample",
+    "kmeans_inertia",
+    "kmeans_label_agreement",
     "dedup_clusters",
     "dedup_cluster_quality",
     "text_quality",
@@ -205,6 +207,40 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_kmeans_readouts_reconcile_with_assignment(ray_session, sf_dir):
+    """kmeans_inertia and kmeans_label_agreement both reconcile with the
+    raw embed_kmeans assignment: identical cluster sets, sizes summing to
+    the corpus, inertia equal to the per-cluster dist2 sums, agreement
+    cells partitioning each cluster."""
+    from clangd_to_neo4j_ray.stages.similarity import (
+        embed_kmeans,
+        kmeans_inertia,
+        kmeans_label_agreement,
+    )
+
+    km = embed_kmeans(sf_dir).take_all()
+    by_cluster: dict = {}
+    for r in km:
+        c = by_cluster.setdefault(r["cluster"], [0, 0])
+        c[0] += 1
+        c[1] += r["dist2"]
+
+    inertia = {r["cluster"]: r for r in kmeans_inertia(sf_dir).take_all()}
+    assert inertia.keys() == by_cluster.keys()
+    for cl, (n, tot) in by_cluster.items():
+        assert inertia[cl]["n_vecs"] == n
+        assert inertia[cl]["inertia"] == tot
+        assert inertia[cl]["mean_dist2"] == tot // n
+
+    agree = kmeans_label_agreement(sf_dir).take_all()
+    per_cluster_sum: dict = {}
+    for r in agree:
+        per_cluster_sum[r["cluster"]] = (
+            per_cluster_sum.get(r["cluster"], 0) + r["n_vecs"]
+        )
+    assert per_cluster_sum == {cl: n for cl, (n, _) in by_cluster.items()}
 
 
 def test_events_interarrival_totals_and_bucket_edges(ray_session, sf_dir):
