@@ -126,6 +126,16 @@ register(
 register(
     "source_overlap", _text.source_overlap, _text.ORACLE_SQL["source_overlap"]
 )
+register(
+    "doc_length_hist",
+    _text.doc_length_hist,
+    _text.ORACLE_SQL["doc_length_hist"],
+)
+register(
+    "source_length_quantiles",
+    _text.source_length_quantiles,
+    _text.ORACLE_SQL["source_length_quantiles"],
+)
 register("pii_scrub", _text.pii_scrub, _text.ORACLE_SQL["pii_scrub"])
 register(
     "vocab_top_tokens", _text.vocab_top_tokens, _text.ORACLE_SQL["vocab_top_tokens"]

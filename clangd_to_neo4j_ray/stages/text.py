@@ -727,6 +727,93 @@ def shingle_rows(
     return parents[: n - k + 1][mask], sh
 
 
+def doc_length_hist(sf_dir: str) -> ray.data.Dataset:
+    """Per-source document-length profile on a log2 scale — the corpus
+    shape readout a curation run eyeballs before setting length filters.
+
+    Output: (source, len_bucket, n_docs) with ``len_bucket`` =
+    floor(log2(n_chars + 1)) — integer-exact on both sides (numpy frexp
+    exponent field vs the oracle's printf('%b') digit count, the
+    ``events_interarrival`` discipline).
+
+    Plan: zero joins — per-batch partial (source, bucket) counts via one
+    Arrow group_by, one exchange of O(sources x 64) rows per block."""
+    from .shuffle import grouped_agg
+
+    ds = _read_docs(sf_dir, ["source", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n1 = batch["n_chars"].to_numpy(zero_copy_only=False) + 1
+        bucket = np.frexp(n1.astype(np.float64))[1] - 1
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "len_bucket": pa.array(bucket.astype(np.int64)),
+            }
+        )
+        return (
+            t.group_by(["source", "len_bucket"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "len_bucket", "n_docs"])
+        )
+
+    return grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["source", "len_bucket"],
+        {"n_docs": ("n_docs", "sum")},
+    )
+
+
+def source_length_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-source exact length quantiles (p10 / median / p90 of n_chars)
+    — the grouped version of the exact-quantile plan
+    (``relational.lineitem_quantiles``): quantiles over a 100-TB corpus
+    without sorting it, per group.
+
+    Output: (source, p10_chars, median_chars, p90_chars), each the value
+    at rank ceil(q*n) (1-based), so the result is integer-exact and
+    deterministic under duplicate lengths.
+
+    Plan: per-batch partial (source, n_chars) value counts — the exchange
+    ships each block's distinct lengths per source, not rows — one
+    bucketed exchange keyed on source, then a vectorized per-source
+    cumsum pick inside the bucket."""
+    from .shuffle import bucketed_group_agg, grouped_agg
+
+    ds = _read_docs(sf_dir, ["source", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["source", "n_chars"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "n_chars", "n"])
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["source", "n_chars"],
+        {"n": ("n", "sum")},
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for source, g in df.groupby("source", sort=False):
+            g = g.sort_values("n_chars")
+            vals = g["n_chars"].to_numpy()
+            cum = g["n"].to_numpy().cumsum()
+            n = int(cum[-1])
+            row = [source]
+            for num, den in ((1, 10), (1, 2), (9, 10)):
+                rank = (num * n + den - 1) // den  # ceil(q * n), >= 1
+                row.append(int(vals[np.searchsorted(cum, rank)]))
+            out.append(row)
+        return pd.DataFrame(
+            out, columns=["source", "p10_chars", "median_chars", "p90_chars"]
+        )
+
+    return bucketed_group_agg(counts, ["source"], pick)
+
+
 def source_overlap(sf_dir: str, *, k: int = FINGERPRINT_K) -> ray.data.Dataset:
     """Cross-source contamination matrix: for every source pair, the
     number of DISTINCT k-token shingles that occur in both — the corpus
@@ -1056,6 +1143,28 @@ SELECT per.source, per.n_tokens,
        CAST((tot.total * 1000) // (tot.n_src * per.n_tokens) AS BIGINT)
          AS weight_permille
 FROM per CROSS JOIN tot
+""",
+    "doc_length_hist": """
+SELECT source,
+       CAST(length(printf('%b', n_chars + 1)) - 1 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source, len_bucket
+""",
+    "source_length_quantiles": """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+  CAST(max(CASE WHEN rk = (n + 9) // 10 THEN n_chars END) AS BIGINT)
+    AS p10_chars,
+  CAST(max(CASE WHEN rk = (n + 1) // 2 THEN n_chars END) AS BIGINT)
+    AS median_chars,
+  CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN n_chars END) AS BIGINT)
+    AS p90_chars
+FROM r GROUP BY source
 """,
     "source_overlap": f"""
 WITH {_SQL_TOK},

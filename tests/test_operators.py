@@ -29,6 +29,8 @@ NAMES = [
     "langid_confusion",
     "trending_tokens",
     "source_overlap",
+    "doc_length_hist",
+    "source_length_quantiles",
     "text_token_totals",
     "vocab_top_tokens",
     "text_fingerprint",
@@ -207,6 +209,43 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_source_length_quantiles_semantics(ray_session, sf_dir):
+    """Quantiles are actual per-source values, ordered p10 <= median <=
+    p90, and exactly the rank-ceil(q*n) statistics of the raw column."""
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.text import source_length_quantiles
+
+    rows = source_length_quantiles(sf_dir).take_all()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    by_src = {s: sorted(g["n_chars"]) for s, g in docs.groupby("source")}
+    assert {r["source"] for r in rows} == set(by_src)
+    for r in rows:
+        vals = by_src[r["source"]]
+        n = len(vals)
+        for col, num, den in (
+            ("p10_chars", 1, 10),
+            ("median_chars", 1, 2),
+            ("p90_chars", 9, 10),
+        ):
+            assert r[col] == vals[(num * n + den - 1) // den - 1]
+        assert r["p10_chars"] <= r["median_chars"] <= r["p90_chars"]
+
+
+def test_doc_length_hist_totals(ray_session, sf_dir):
+    """Histogram cells partition the corpus per source."""
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.text import doc_length_hist
+
+    rows = doc_length_hist(sf_dir).take_all()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    assert all(r["len_bucket"] >= 0 for r in rows)
 
 
 def test_kmeans_readouts_reconcile_with_assignment(ray_session, sf_dir):
