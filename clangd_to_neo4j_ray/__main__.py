@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--pages", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--neo4j-csv", action="store_true")
+    b.add_argument(
+        "--format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="pages source format (warc = Common-Crawl-native records)",
+    )
 
     i = sub.add_parser("incremental", help="checkpointed/incremental build")
     i.add_argument("--pages", required=True)
@@ -76,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             manifest = build_graph(
                 args.pages, make_entities(), args.out,
                 write_neo4j_csv=args.neo4j_csv,
+                source_format=args.format,
             )
             print(json.dumps(manifest, indent=2))
         elif args.cmd == "incremental":

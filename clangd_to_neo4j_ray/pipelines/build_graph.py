@@ -155,12 +155,22 @@ def build_graph(
     *,
     concurrency: int | tuple[int, int] | None = None,
     write_neo4j_csv: bool = True,
+    source_format: str = "parquet",
 ) -> dict:
-    """End-to-end full build from a pages Parquet directory; returns manifest."""
+    """End-to-end full build from a pages directory; returns manifest.
+
+    ``source_format``: ``parquet`` (default) or ``warc`` — the latter
+    ingests Common-Crawl-native WARC/1.0 files via ``sources.warc`` and
+    derives text in the shared extract stage (same per-row invariant)."""
     from ..sources.fixtures import alias_lookup
     from ..stages.materialize import write_graph
 
-    pages = ray.data.read_parquet(pages_path)
+    if source_format == "warc":
+        from ..sources.warc import read_warc
+
+        pages = read_warc(pages_path)
+    else:
+        pages = ray.data.read_parquet(pages_path)
     lut = alias_lookup(entities)
     names = {e.entity_id: e.canonical_name for e in entities}
     triples, mentions, nodes, edges = build_graph_datasets(
@@ -170,7 +180,7 @@ def build_graph(
         nodes,
         edges,
         out_dir,
-        lineage={"input": pages_path},
+        lineage={"input": pages_path, "format": source_format},
         write_neo4j_csv=write_neo4j_csv,
     )
     triples.write_parquet(f"{out_dir}/triples")

@@ -92,3 +92,42 @@ def test_warc_files_roundtrip_and_extract_parity(ray_session, tmp_path):
             zip(pages["url"].to_pylist(), pages["text"].to_pylist())
         )
         assert warc_text == parquet_text
+
+
+def test_build_graph_from_warc_equals_parquet(ray_session, tmp_path):
+    """End-to-end: the flagship KG build over WARC input emits the exact
+    triple set of the Parquet path (same fixture, both formats)."""
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.pipelines.build_graph import build_graph
+    from clangd_to_neo4j_ray.sources.fixtures import generate_pages, make_entities
+
+    fx = generate_pages(150)
+    pq_dir = tmp_path / "pq"
+    pq_dir.mkdir()
+    pq.write_table(fx.pages, str(pq_dir / "part-0.parquet"))
+    warc_dir = tmp_path / "warc"
+    write_warc_files(fx.pages, str(warc_dir), num_files=3)
+
+    ents = make_entities()
+    m1 = build_graph(
+        str(pq_dir), ents, str(tmp_path / "out_pq"), write_neo4j_csv=False
+    )
+    m2 = build_graph(
+        str(warc_dir),
+        ents,
+        str(tmp_path / "out_warc"),
+        write_neo4j_csv=False,
+        source_format="warc",
+    )
+
+    def triples(out):
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(f"{out}/triples").to_table()
+        cols = ["subj_id", "pred", "obj_id"] if "subj_id" in t.column_names else sorted(t.column_names)
+        return sorted(map(tuple, t.select(cols).to_pandas().itertuples(index=False)))
+
+    assert triples(tmp_path / "out_warc") == triples(tmp_path / "out_pq")
+    if "counts" in m1:
+        assert m1["counts"] == m2["counts"]
