@@ -264,6 +264,7 @@ from .stages import sampling as _sampling
 
 for _name in (
     "sample_weighted",
+    "curriculum_rank",
     "decontam_ngram",
     "decontam_dead_letters",
 ):

@@ -312,7 +312,76 @@ tagged AS (
 df AS (SELECT s, CAST(count(*) AS BIGINT) AS n_docs FROM tagged GROUP BY s)
 """
 
+def curriculum_rank(sf_dir: str) -> ray.data.Dataset:
+    """Exact global curriculum ordering WITHOUT a global sort: every
+    document's 1-based rank under (n_chars desc, doc_id asc) — the
+    longest-first training order — via the histogram-offset plan.
+
+    Output: (doc_id, n_chars, rk).
+
+    Plan (the zip-with-index gap in the native Dataset API, closed with
+    two bounded exchanges): (1) a value-count exchange ships each block's
+    DISTINCT n_chars values; the driver folds the O(distinct-lengths)
+    histogram into cumulative offsets (disclosed driver state — lengths,
+    not rows).  (2) one bucketed exchange keyed on n_chars co-locates
+    equal-length docs; each value group sorts its doc_ids and adds the
+    broadcast offset.  No step ever holds more than a value group."""
+    import numpy as np
+    import pandas as pd
+
+    from .shuffle import bucketed_group_agg, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["n_chars"])
+            .group_by(["n_chars"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["n_chars", "n"])
+        )
+
+    hist = grouped_agg(
+        ds.map_batches(hist_partials, batch_format="pyarrow"),
+        ["n_chars"],
+        {"n": ("n", "sum")},
+    ).take_all()  # O(distinct lengths) driver fold
+    hist.sort(key=lambda r: -r["n_chars"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in hist:
+        offsets[r["n_chars"]] = acc
+        acc += r["n"]
+    ref = ray.put(offsets)  # broadcast once, read per bucket task
+
+    def rank_groups(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        out = []
+        for v, g in df.groupby("n_chars", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_chars": v,
+                        "rk": offs[int(v)] + np.arange(1, len(ids) + 1),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_agg(ds, ["n_chars"], rank_groups)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "curriculum_rank": """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS rk
+FROM documents
+""",
     "sample_weighted": f"""
 SELECT doc_id, n_tokens, p_permille FROM (
   SELECT doc_id, {WEIGHTED_KEEP_EXPRS} FROM documents)

@@ -36,6 +36,7 @@ NAMES = [
     "text_fingerprint",
     "split_train_val",
     "split_contamination",
+    "curriculum_rank",
     "text_token_bpeish",
     "text_repetition",
     "source_mix_weights",
@@ -209,6 +210,19 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_curriculum_rank_is_a_permutation(ray_session, sf_dir):
+    """Ranks are exactly 1..N with no gaps, and the order is the total
+    order (n_chars desc, doc_id asc)."""
+    from clangd_to_neo4j_ray.stages.sampling import curriculum_rank
+
+    rows = curriculum_rank(sf_dir).take_all()
+    ranks = sorted(r["rk"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r["rk"])
+    keys = [(-r["n_chars"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
 
 
 def test_source_length_quantiles_semantics(ray_session, sf_dir):
