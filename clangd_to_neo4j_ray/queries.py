@@ -265,6 +265,7 @@ from .stages import sampling as _sampling
 for _name in (
     "sample_weighted",
     "curriculum_rank",
+    "training_shuffle",
     "decontam_ngram",
     "decontam_dead_letters",
 ):

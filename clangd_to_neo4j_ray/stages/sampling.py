@@ -312,6 +312,64 @@ tagged AS (
 df AS (SELECT s, CAST(count(*) AS BIGINT) AS n_docs FROM tagged GROUP BY s)
 """
 
+SHUFFLE_SEED = "sh1"
+SHUFFLE_SHARDS = 16
+
+
+def training_shuffle(
+    sf_dir: str, *, n_shards: int = SHUFFLE_SHARDS
+) -> ray.data.Dataset:
+    """Deterministic global shuffle into training shards — the
+    pre-packing pass of a real training-data pipeline: every doc gets a
+    seeded pseudo-random shard and an in-shard position, reproducible
+    across runs and resumes (no RNG state; the permutation IS the hash).
+
+    Output: (doc_id, shard, pos) — shard = md5 24-bit draw mod n_shards,
+    pos = 1-based rank within the shard ordered by (full hash, doc_id).
+
+    Plan: the hash is one embedded DuckDB md5 projection per batch (the
+    vectorized scan-kernel idiom), then ONE bucketed exchange keyed on
+    shard; each shard sorts its own rows (corpus_size / n_shards each,
+    never the corpus) for positions."""
+    import numpy as np
+    import pandas as pd
+
+    from .shuffle import bucketed_group_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            "SELECT doc_id, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+            f"'|{SHUFFLE_SEED}'), 1, 6)) AS BIGINT) % {n_shards} AS shard, "
+            "md5(CAST(doc_id AS VARCHAR) || "
+            f"'|{SHUFFLE_SEED}') AS h FROM t",
+            t=batch,
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def positions(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for shard, g in df.groupby("shard", sort=False):
+            g = g.sort_values(["h", "doc_id"])
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g["doc_id"].to_numpy(),
+                        "shard": shard,
+                        "pos": np.arange(1, len(g) + 1, dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_agg(tagged, ["shard"], positions)
+
+
 def curriculum_rank(sf_dir: str) -> ray.data.Dataset:
     """Exact global curriculum ordering WITHOUT a global sort: every
     document's 1-based rank under (n_chars desc, doc_id asc) — the
@@ -376,6 +434,19 @@ def curriculum_rank(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "training_shuffle": f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '|{SHUFFLE_SEED}') AS h,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+           '|{SHUFFLE_SEED}'), 1, 6)) AS BIGINT) % {SHUFFLE_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         AS BIGINT) AS pos
+FROM h
+""",
     "curriculum_rank": """
 SELECT doc_id, n_chars,
        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)

@@ -37,6 +37,7 @@ NAMES = [
     "split_train_val",
     "split_contamination",
     "curriculum_rank",
+    "training_shuffle",
     "text_token_bpeish",
     "text_repetition",
     "source_mix_weights",
@@ -210,6 +211,34 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_training_shuffle_partitions_and_is_deterministic(ray_session, sf_dir):
+    """Every doc appears exactly once, in-shard positions are 1..len per
+    shard with no gaps, every shard is non-degenerate at this corpus
+    size, and a second run reproduces the permutation exactly (no RNG
+    state — the hash IS the permutation)."""
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.sampling import (
+        SHUFFLE_SHARDS,
+        training_shuffle,
+    )
+
+    rows = training_shuffle(sf_dir).take_all()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    assert sorted(r["doc_id"] for r in rows) == sorted(docs["doc_id"].to_pylist())
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(SHUFFLE_SHARDS))
+    assert len(by_shard) == SHUFFLE_SHARDS  # 500 docs / 16 shards: all hit
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    again = training_shuffle(sf_dir).take_all()
+    key = lambda r: (r["doc_id"], r["shard"], r["pos"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
 
 
 def test_curriculum_rank_is_a_permutation(ray_session, sf_dir):
