@@ -242,6 +242,84 @@ def kg_entity_salience(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+TRENDING_ENTITIES_K = 5
+
+
+def kg_trending_entities(
+    sf_dir: str, *, k: int = TRENDING_ENTITIES_K
+) -> ray.data.Dataset:
+    """Entity mentions on the crawl timeline: the k most-mentioned
+    entities of every ``warc_ts`` minute bucket, each with its
+    previous-minute count and delta — the KG-freshness monitor (which
+    entities are surging in the crawl right now).
+
+    Output: (minute, name, n, n_prev, delta), top-k per minute by
+    (n desc, name asc).
+
+    Plan: the ``trending_tokens`` single-exchange lag (per-batch counts
+    emitted under both the bucket's own key and ``minute+1`` as carrier
+    rows; one grouped_agg recovers the lag with no self-join), restricted
+    to vocabulary mentions — the exchange ships O(vocab) rows per minute
+    per block."""
+    from ..sources.pages import documents_as_pages
+    from ..stages.packing import grouped_head_n
+    from ..stages.shuffle import grouped_agg
+
+    pages = documents_as_pages(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        minute = pc.divide(pc.cast(batch["warc_ts"], pa.int64()), 60_000_000)
+        flat, _pos, parents = explode_tokens(batch)
+        mask = pc.is_in(flat, value_set=_VOCAB_ARRAY).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.nonzero(mask)[0]
+        t = pa.table(
+            {
+                "minute": minute.take(pa.array(parents[idx])),
+                "name": flat.take(pa.array(idx)),
+            }
+        )
+        cnt = (
+            t.group_by(["minute", "name"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["minute", "name", "n"])
+        )
+        zeros = pa.array(np.zeros(len(cnt), dtype=np.int64))
+        cur = pa.table(
+            {"minute": cnt["minute"], "name": cnt["name"], "n": cnt["n"], "n_prev": zeros}
+        )
+        prv = pa.table(
+            {
+                "minute": pc.add(cnt["minute"], 1),
+                "name": cnt["name"],
+                "n": zeros,
+                "n_prev": cnt["n"],
+            }
+        )
+        return pa.concat_tables([cur, prv])
+
+    counts = grouped_agg(
+        pages.map_batches(partials, batch_format="pyarrow"),
+        ["minute", "name"],
+        {"n": ("n", "sum"), "n_prev": ("n_prev", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 0))
+        return t.append_column("delta", pc.subtract(t["n"], t["n_prev"]))
+
+    ranked = counts.map_batches(finish, batch_format="pyarrow")
+    return grouped_head_n(
+        ranked,
+        "minute",
+        ["minute", "n", "name"],
+        [True, False, True],
+        k,
+        out_cols=["minute", "name", "n", "n_prev", "delta"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stage: triple extraction + canonicalization shuffle (J4 + D5 analogs)
 # ---------------------------------------------------------------------------
@@ -914,6 +992,29 @@ SELECT substr(md5(t.tok), 1, 16) AS entity_id, t.tok AS name, v.kind,
        CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs
 FROM tok t JOIN vocab v ON t.tok = v.name
 GROUP BY t.tok, v.kind
+""",
+    # pages adapter contract: warc_ts = 2025-01-01Z + doc_id seconds
+    "kg_trending_entities": f"""
+WITH {SQL_TOK}, {SQL_VOCAB},
+cnt AS (
+  SELECT CAST((1735689600 + t.doc_id) // 60 AS BIGINT) AS minute,
+         t.tok AS name, CAST(count(*) AS BIGINT) AS n
+  FROM tok t JOIN vocab v ON t.tok = v.name
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT c.minute, c.name, c.n,
+         CAST(coalesce(p.n, 0) AS BIGINT) AS n_prev
+  FROM cnt c LEFT JOIN cnt p
+    ON p.minute = c.minute - 1 AND p.name = c.name
+),
+r AS (
+  SELECT minute, name, n, n_prev, n - n_prev AS delta,
+         row_number() OVER (PARTITION BY minute ORDER BY n DESC, name) AS rk
+  FROM lagged
+)
+SELECT minute, name, n, n_prev, CAST(delta AS BIGINT) AS delta
+FROM r WHERE rk <= {TRENDING_ENTITIES_K}
 """,
     "kg_entity_salience": f"""
 WITH {SQL_TOK}, {SQL_VOCAB},

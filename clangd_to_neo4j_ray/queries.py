@@ -71,6 +71,11 @@ register(
     _dkg_front.kg_entity_salience,
     _dkg_front.ORACLE_SQL["kg_entity_salience"],
 )
+register(
+    "kg_trending_entities",
+    _dkg_front.kg_trending_entities,
+    _dkg_front.ORACLE_SQL["kg_trending_entities"],
+)
 from .stages import similarity as _sim_front
 
 register(
@@ -107,6 +112,11 @@ register(
     "events_interarrival",
     _win_front.events_interarrival,
     _win_front.ORACLE_SQL["events_interarrival"],
+)
+register(
+    "events_daily_delta",
+    _win_front.events_daily_delta,
+    _win_front.ORACLE_SQL["events_daily_delta"],
 )
 from .stages import profiling as _prof
 

@@ -291,6 +291,66 @@ def events_interarrival(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+DAY_US = 24 * 3_600 * 1_000_000
+
+
+def events_daily_delta(sf_dir: str) -> ray.data.Dataset:
+    """Per-type daily event volumes with day-over-day deltas — the
+    monitoring readout that catches ingest regressions.
+
+    Output: (event_type, day, n, n_prev, delta) — ``day`` is the epoch
+    day index, ``n_prev`` the same type's count the previous day (0 if
+    absent), ``delta = n - n_prev``.
+
+    Plan: the single-exchange lag idiom (``trending_tokens``): each
+    batch's partial (type, day) counts are emitted twice — once under
+    their own day, once under ``day+1`` as n_prev carriers — so ONE
+    grouped_agg recovers the lag; carrier-only rows (no events that day)
+    drop after the exchange.  O(types x days) rows per block."""
+    from .shuffle import grouped_agg
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()), DAY_US)
+        t = pa.table({"event_type": batch["event_type"], "day": day})
+        cnt = (
+            t.group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "day", "n"])
+        )
+        zeros = pa.array(np.zeros(len(cnt), dtype=np.int64))
+        cur = pa.table(
+            {
+                "event_type": cnt["event_type"],
+                "day": cnt["day"],
+                "n": cnt["n"],
+                "n_prev": zeros,
+            }
+        )
+        prv = pa.table(
+            {
+                "event_type": cnt["event_type"],
+                "day": pc.add(cnt["day"], 1),
+                "n": zeros,
+                "n_prev": cnt["n"],
+            }
+        )
+        return pa.concat_tables([cur, prv])
+
+    counts = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["event_type", "day"],
+        {"n": ("n", "sum"), "n_prev": ("n_prev", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 0))
+        return t.append_column("delta", pc.subtract(t["n"], t["n_prev"]))
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
 WEEK_US = 7 * 24 * 3_600 * 1_000_000  # cohort granularity
 
 
@@ -519,6 +579,18 @@ def events_props_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "events_daily_delta": f"""
+WITH cnt AS (
+  SELECT event_type, epoch_us(ts) // {DAY_US} AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT c.event_type, CAST(c.day AS BIGINT) AS day, c.n,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_prev,
+       CAST(c.n - coalesce(p.n, 0) AS BIGINT) AS delta
+FROM cnt c LEFT JOIN cnt p
+  ON p.event_type = c.event_type AND p.day = c.day - 1
+""",
     "events_interarrival": """
 WITH g AS (
   SELECT event_type,

@@ -16,6 +16,8 @@ NAMES = [
     "kg_pagerank",
     "kg_head_entities",
     "kg_entity_salience",
+    "kg_trending_entities",
+    "events_daily_delta",
     "pii_scrub",
     "tfidf_top_terms",
     "embed_kmeans",
@@ -211,6 +213,32 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_events_daily_delta_reconciles_with_type_stats(ray_session, sf_dir):
+    """Daily volumes sum to the per-type totals, n_prev is the previous
+    day's n wherever both days exist, and delta arithmetic is exact."""
+    from clangd_to_neo4j_ray.stages.windows import (
+        events_daily_delta,
+        events_type_stats,
+    )
+
+    rows = events_daily_delta(sf_dir).take_all()
+    totals: dict = {}
+    by_key = {}
+    for r in rows:
+        assert r["delta"] == r["n"] - r["n_prev"]
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) + r["n"]
+        by_key[(r["event_type"], r["day"])] = r["n"]
+    for (et, day), n in by_key.items():
+        prev = by_key.get((et, day - 1), 0)
+        row = next(
+            r for r in rows if r["event_type"] == et and r["day"] == day
+        )
+        assert row["n_prev"] == prev
+
+    stats = events_type_stats(sf_dir).take_all()
+    assert {r["event_type"]: r["n_events"] for r in stats} == totals
 
 
 def test_training_shuffle_partitions_and_is_deterministic(ray_session, sf_dir):
