@@ -220,6 +220,7 @@ for _name in (
     "boilerplate_scrub",
     "url_normalize",
     "url_dedup",
+    "host_age_profile",
 ):
     register(_name, getattr(_wc, _name), _wc.ORACLE_SQL[_name])
 

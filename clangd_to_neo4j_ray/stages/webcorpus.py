@@ -419,7 +419,56 @@ bp AS (
   FROM df JOIN tot ON df.source = tot.source
   WHERE 2 * df.n_docs >= tot.n_source_docs)"""
 
+def host_age_profile(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-freshness profile per host: first/last crawl minute and page
+    count — the recrawl scheduler's input (stale hosts first).
+
+    Output: (host, first_minute, last_minute, n_pages) — minutes are
+    epoch minute indexes of ``warc_ts``.
+
+    Plan: zero joins — per-batch (host, min, max, count) partials via one
+    Arrow group_by over the pages adapter, one O(hosts)-rows-per-block
+    exchange folding min/min, max/max, sum."""
+    import pyarrow.compute as _pc
+
+    from ..sources.pages import documents_as_pages
+    from .shuffle import grouped_agg
+
+    pages = documents_as_pages(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        host = _pc.replace_substring_regex(
+            batch["url"], r"^https://([^/]+)/.*$", r"\1"
+        )
+        minute = _pc.divide(_pc.cast(batch["warc_ts"], pa.int64()), 60_000_000)
+        t = pa.table({"host": host, "minute": minute})
+        return (
+            t.group_by(["host"])
+            .aggregate([("minute", "min"), ("minute", "max"), ([], "count_all")])
+            .rename_columns(["host", "first_minute", "last_minute", "n_pages"])
+        )
+
+    return grouped_agg(
+        pages.map_batches(partials, batch_format="pyarrow"),
+        ["host"],
+        {
+            "first_minute": ("first_minute", "min"),
+            "last_minute": ("last_minute", "max"),
+            "n_pages": ("n_pages", "sum"),
+        },
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    # pages adapter contract: host = source.example.com, warc_ts =
+    # 2025-01-01Z + doc_id seconds
+    "host_age_profile": """
+SELECT source || '.example.com' AS host,
+       CAST((1735689600 + min(doc_id)) // 60 AS BIGINT) AS first_minute,
+       CAST((1735689600 + max(doc_id)) // 60 AS BIGINT) AS last_minute,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM documents GROUP BY source
+""",
     "boilerplate_lines": f"""
 WITH {_ORACLE_LINES}
 SELECT * FROM bp

@@ -259,3 +259,28 @@ def test_url_normalization_idempotent_property():
         assert once == twice
 
     check()
+
+
+def test_host_age_profile_matches_oracle(ray_session, sf_dir):
+    from clangd_to_neo4j_ray.stages.webcorpus import ORACLE_SQL, host_age_profile
+
+    from .util import assert_matches_oracle
+
+    assert_matches_oracle(
+        host_age_profile(sf_dir), ORACLE_SQL["host_age_profile"], sf_dir
+    )
+
+
+def test_host_age_profile_window_sanity(ray_session, sf_dir):
+    """first <= last per host; totals sum to the corpus; windows sit in
+    the adapter's deterministic timeline."""
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.webcorpus import host_age_profile
+
+    rows = host_age_profile(sf_dir).take_all()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    assert sum(r["n_pages"] for r in rows) == len(docs)
+    base = 1735689600 // 60
+    for r in rows:
+        assert base <= r["first_minute"] <= r["last_minute"]
