@@ -118,6 +118,11 @@ register(
     _win_front.events_daily_delta,
     _win_front.ORACLE_SQL["events_daily_delta"],
 )
+register(
+    "events_watermark_lateness",
+    _win_front.events_watermark_lateness,
+    _win_front.ORACLE_SQL["events_watermark_lateness"],
+)
 from .stages import profiling as _prof
 
 register(

@@ -351,6 +351,110 @@ def events_daily_delta(sf_dir: str) -> ray.data.Dataset:
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
+ARRIVAL_SEED = "arr1"
+WATERMARK_DELAY_US = 7 * DAY_US
+
+
+def events_watermark_lateness(sf_dir: str) -> ray.data.Dataset:
+    """Streaming watermark accounting: how many events would arrive LATE
+    (event time older than the watermark minus a 7-day allowed lag) under
+    a deterministic out-of-order arrival stream — the operator class a
+    streaming engine runs at the ingest edge, demonstrated here as a
+    DISTRIBUTED PREFIX-MAX SCAN (the order-dependent analog of the
+    sequence-packing cumsum carry plan).
+
+    The events table is perfectly time-ordered by event_id, so arrival
+    order is synthesized deterministically (seeded md5 of event_id — the
+    same adapter discipline as the pages warc_ts contract); the watermark
+    before each arrival is the max event time seen so far.
+
+    Output: (event_type, n_events, n_late).
+
+    Plan: arrival keys shard into 256 contiguous hex-prefix ranges of the
+    global arrival order; pass 1 folds per-shard max event time
+    (O(shards) rows to the driver — the packing carry fold); the driver's
+    prefix maxima broadcast; pass 2 is ONE shard-keyed bucketed exchange
+    where each shard runs a vectorized running-max seeded by its carry
+    and pre-counts lateness per type.  No step ever orders more than one
+    shard; the tagged scan is materialized once and feeds both passes."""
+    import pandas as pd
+
+    from ..functions.duck import sql_over
+    from .shuffle import bucketed_group_agg, grouped_agg
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return sql_over(
+            "SELECT event_id, event_type, epoch_us(ts) AS ts_us, "
+            f"md5(CAST(event_id AS VARCHAR) || '|{ARRIVAL_SEED}') AS ak, "
+            f"substr(md5(CAST(event_id AS VARCHAR) || '|{ARRIVAL_SEED}'), 1, 2)"
+            " AS shard FROM t",
+            t=batch,
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def shard_max(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["shard", "ts_us"])
+            .group_by(["shard"])
+            .aggregate([("ts_us", "max")])
+            .rename_columns(["shard", "ts_max"])
+        )
+
+    folded = grouped_agg(
+        tagged.map_batches(shard_max, batch_format="pyarrow"),
+        ["shard"],
+        {"ts_max": ("ts_max", "max")},
+    ).take_all()  # <= 256 rows: the carry fold
+    folded.sort(key=lambda r: r["shard"])
+    carry: dict[str, int | None] = {}
+    run: int | None = None
+    for r in folded:
+        carry[r["shard"]] = run
+        run = r["ts_max"] if run is None else max(run, r["ts_max"])
+    import ray as _ray
+
+    carry_ref = _ray.put(carry)
+    _SENTINEL = -(2**62)  # "no preceding arrival": never late, no overflow
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = (
+            _ray.get(carry_ref)
+            if isinstance(carry_ref, _ray.ObjectRef)
+            else carry_ref
+        )
+        out = []
+        for shard, g in df.groupby("shard", sort=False):
+            g = g.sort_values(["ak", "event_id"])
+            ts = g["ts_us"].to_numpy()
+            wm = np.empty(len(ts), dtype=np.int64)
+            c = cmap.get(shard)
+            wm[0] = _SENTINEL if c is None else c
+            if len(ts) > 1:
+                wm[1:] = np.maximum.accumulate(ts)[:-1]
+                if c is not None:
+                    wm[1:] = np.maximum(wm[1:], c)
+            late = ts < wm - WATERMARK_DELAY_US
+            part = pd.DataFrame(
+                {"event_type": g["event_type"].to_numpy(), "late": late}
+            )
+            out.append(
+                part.groupby("event_type", sort=False)
+                .agg(n_events=("late", "size"), n_late=("late", "sum"))
+                .reset_index()
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = bucketed_group_agg(tagged, ["shard"], per_bucket)
+    return grouped_agg(
+        partials,
+        ["event_type"],
+        {"n_events": ("n_events", "sum"), "n_late": ("n_late", "sum")},
+    )
+
+
 WEEK_US = 7 * 24 * 3_600 * 1_000_000  # cohort granularity
 
 
@@ -579,6 +683,23 @@ def events_props_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "events_watermark_lateness": f"""
+WITH a AS (
+  SELECT event_type, ts, event_id,
+         md5(CAST(event_id AS VARCHAR) || '|{ARRIVAL_SEED}') AS ak
+  FROM events
+),
+w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY ak, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM a
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (ts < wm - INTERVAL 7 DAY) AS BIGINT) AS n_late
+FROM w GROUP BY event_type
+""",
     "events_daily_delta": f"""
 WITH cnt AS (
   SELECT event_type, epoch_us(ts) // {DAY_US} AS day,

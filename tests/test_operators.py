@@ -59,6 +59,7 @@ NAMES = [
     "events_cohorts",
     "events_funnel",
     "events_interarrival",
+    "events_watermark_lateness",
     "schema_profile",
     "q1_pricing_summary",
     "q3_top_orders",
@@ -213,6 +214,53 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_watermark_lateness_matches_sequential_brute_force(ray_session, sf_dir):
+    """Independent (non-SQL) pin of the sharded prefix-max plan: a
+    sequential driver walk in arrival order reproduces the exact
+    per-type late counts — exercises the cross-shard carries, since the
+    256 hex shards each hold ~N/256 events."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.windows import (
+        ARRIVAL_SEED,
+        WATERMARK_DELAY_US,
+        events_watermark_lateness,
+    )
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    rows = list(
+        zip(
+            ev["event_id"].to_pylist(),
+            ev["ts"].cast("int64").to_pylist(),
+            ev["event_type"].to_pylist(),
+        )
+    )
+    rows.sort(
+        key=lambda r: (
+            hashlib.md5(f"{r[0]}|{ARRIVAL_SEED}".encode()).hexdigest(),
+            r[0],
+        )
+    )
+    wm = None
+    expect: dict = {}
+    for _eid, ts, et in rows:
+        n, late = expect.get(et, (0, 0))
+        is_late = wm is not None and ts < wm - WATERMARK_DELAY_US
+        expect[et] = (n + 1, late + int(is_late))
+        wm = ts if wm is None else max(wm, ts)
+
+    got = {
+        r["event_type"]: (r["n_events"], r["n_late"])
+        for r in events_watermark_lateness(sf_dir).take_all()
+    }
+    assert got == expect
+    assert any(late > 0 for _n, late in expect.values())  # non-degenerate
 
 
 def test_events_daily_delta_reconciles_with_type_stats(ray_session, sf_dir):
