@@ -185,6 +185,11 @@ from .stages import dedup as _dedup
 register(
     "dedup_clusters", _dedup.dedup_clusters, _dedup.ORACLE_SQL["dedup_clusters"]
 )
+register(
+    "dedup_rate_by_source",
+    _dedup.dedup_rate_by_source,
+    _dedup.ORACLE_SQL["dedup_rate_by_source"],
+)
 
 # --- mergeable cardinality sketches (new r5 — keep first) ---
 from .stages import sketches as _sk

@@ -76,6 +76,68 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def dedup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Within-source exact-duplication readout: how much of each source
+    survives exact dedup — the per-source data-quality number a blend
+    designer looks at before weighting sources.
+
+    Output: (source, n_docs, n_unique, dup_permille) with dup_permille =
+    1000 * (n_docs - n_unique) // n_docs (integer-exact).
+
+    Plan: per-batch (text_hash, source) partial counts (md5 via the
+    embedded DuckDB kernel), one hash-keyed exchange completes the
+    groups, then per-batch per-source partials (each completed group row
+    contributes 1 unique + n docs) bound the second exchange to
+    O(sources) rows per block."""
+    from ..functions.duck import md5_hex_arrow
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "text_hash": md5_hex_arrow(batch["text"]),
+                "source": batch["source"],
+            }
+        )
+        return (
+            t.group_by(["text_hash", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["text_hash", "source", "n"])
+        )
+
+    groups = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["text_hash", "source"],
+        {"n": ("n", "sum")},
+    )
+
+    def per_source_partials(batch: pa.Table) -> pa.Table:
+        ones = pa.array(np.ones(len(batch), dtype=np.int64))
+        t = pa.table(
+            {"source": batch["source"], "n_docs": batch["n"], "n_unique": ones}
+        )
+        return (
+            t.group_by(["source"])
+            .aggregate([("n_docs", "sum"), ("n_unique", "sum")])
+            .rename_columns(["source", "n_docs", "n_unique"])
+        )
+
+    folded = grouped_agg(
+        groups.map_batches(per_source_partials, batch_format="pyarrow"),
+        ["source"],
+        {"n_docs": ("n_docs", "sum"), "n_unique": ("n_unique", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dup = pc.multiply(pc.subtract(t["n_docs"], t["n_unique"]), 1000)
+        return t.append_column("dup_permille", pc.divide(dup, t["n_docs"]))
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (shingle -> minhash -> band -> bucket groupby)
 # ---------------------------------------------------------------------------
@@ -714,6 +776,17 @@ sig AS (
 )"""
 
 ORACLE_SQL: dict[str, str] = {
+    "dedup_rate_by_source": """
+WITH g AS (
+  SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, h
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST((1000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
+         AS dup_permille
+FROM g GROUP BY source
+""",
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id,
        CAST(count(*) AS BIGINT) AS n_dups

@@ -26,6 +26,7 @@ NAMES = [
     "kmeans_label_agreement",
     "dedup_clusters",
     "dedup_cluster_quality",
+    "dedup_rate_by_source",
     "text_quality",
     "text_langid",
     "langid_confusion",
@@ -214,6 +215,36 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_dedup_rate_with_planted_duplicates(ray_session, tmp_path):
+    """The driver corpus has no exact duplicates (rate 0 everywhere), so
+    the dup path is pinned here: source a has 4 docs over 2 distinct
+    texts (500 permille), source b has 3 docs all distinct (0)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.dedup import dedup_rate_by_source
+
+    texts = ["x y", "x y", "z w", "z w", "p", "q", "r"]
+    srcs = ["a", "a", "a", "a", "b", "b", "b"]
+    t = _pa.table(
+        {
+            "doc_id": _pa.array(range(7), type=_pa.int64()),
+            "text": _pa.array(texts),
+            "lang": _pa.array(["en"] * 7),
+            "source": _pa.array(srcs),
+            "n_chars": _pa.array([len(s) for s in texts], type=_pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = {
+        r["source"]: (r["n_docs"], r["n_unique"], r["dup_permille"])
+        for r in dedup_rate_by_source(str(d)).take_all()
+    }
+    assert got == {"a": (4, 2, 500), "b": (3, 3, 0)}
 
 
 def test_watermark_lateness_matches_sequential_brute_force(ray_session, sf_dir):
