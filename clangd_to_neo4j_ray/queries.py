@@ -123,6 +123,16 @@ register(
     _win_front.events_watermark_lateness,
     _win_front.ORACLE_SQL["events_watermark_lateness"],
 )
+register(
+    "events_top_users",
+    _win_front.events_top_users,
+    _win_front.ORACLE_SQL["events_top_users"],
+)
+register(
+    "source_lang_mix",
+    _text.source_lang_mix,
+    _text.ORACLE_SQL["source_lang_mix"],
+)
 from .stages import profiling as _prof
 
 register(

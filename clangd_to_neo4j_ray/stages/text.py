@@ -727,6 +727,48 @@ def shingle_rows(
     return parents[: n - k + 1][mask], sh
 
 
+def source_lang_mix(sf_dir: str) -> ray.data.Dataset:
+    """Per-source language composition: doc counts and the integer
+    permille share of each language within its source — the blend
+    designer's language-balance readout.
+
+    Output: (source, lang, n_docs, share_permille).
+
+    Plan: zero joins — per-batch (source, lang) partial counts, ONE
+    exchange, then the per-source total rides a second pass over the
+    O(sources x langs) folded rows (bounded, so the window-style share
+    is computed in one bucketed group per source)."""
+    from .shuffle import bucketed_group_agg, grouped_agg
+
+    ds = _read_docs(sf_dir, ["source", "lang"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["source", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "lang", "n_docs"])
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["source", "lang"],
+        {"n_docs": ("n_docs", "sum")},
+    )
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for source, g in df.groupby("source", sort=False):
+            total = int(g["n_docs"].sum())
+            g = g.copy()
+            g["share_permille"] = (g["n_docs"] * 1000) // total
+            out.append(g)
+        return pd.concat(out, ignore_index=True)[
+            ["source", "lang", "n_docs", "share_permille"]
+        ]
+
+    return bucketed_group_agg(counts, ["source"], share)
+
+
 def doc_length_hist(sf_dir: str) -> ray.data.Dataset:
     """Per-source document-length profile on a log2 scale — the corpus
     shape readout a curation run eyeballs before setting length filters.
@@ -1143,6 +1185,16 @@ SELECT per.source, per.n_tokens,
        CAST((tot.total * 1000) // (tot.n_src * per.n_tokens) AS BIGINT)
          AS weight_permille
 FROM per CROSS JOIN tot
+""",
+    "source_lang_mix": """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs,
+       CAST((n_docs * 1000) // sum(n_docs) OVER (PARTITION BY source)
+         AS BIGINT) AS share_permille
+FROM c
 """,
     "doc_length_hist": """
 SELECT source,

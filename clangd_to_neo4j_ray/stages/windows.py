@@ -351,6 +351,43 @@ def events_daily_delta(sf_dir: str) -> ray.data.Dataset:
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
+TOP_USERS_K = 10
+
+
+def events_top_users(sf_dir: str, *, k: int = TOP_USERS_K) -> ray.data.Dataset:
+    """Most-active users per event type (the power-user / abuse-triage
+    readout): the k users with the most events of each type, exact.
+
+    Output: (event_type, user_id, n_events) — ties by ascending user_id.
+
+    Plan: per-batch (type, user) partial counts, one exchange completing
+    them, then the bounded-reducer ``grouped_head_n`` per type (each
+    block ships at most k rows per type into the final exchange)."""
+    from .packing import grouped_head_n
+
+    ds = _read_events(sf_dir, ["event_type", "user_id"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["event_type", "user_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "user_id", "n_events"])
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        {"n_events": ("n_events", "sum")},
+    )
+    return grouped_head_n(
+        counts,
+        "event_type",
+        ["event_type", "n_events", "user_id"],
+        [True, False, True],
+        k,
+    )
+
+
 ARRIVAL_SEED = "arr1"
 WATERMARK_DELAY_US = 7 * DAY_US
 
@@ -683,6 +720,19 @@ def events_props_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "events_top_users": f"""
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, n_events,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n_events DESC, user_id) AS rk
+  FROM c
+)
+SELECT event_type, user_id, n_events FROM r WHERE rk <= {TOP_USERS_K}
+""",
     "events_watermark_lateness": f"""
 WITH a AS (
   SELECT event_type, ts, event_id,

@@ -61,6 +61,8 @@ NAMES = [
     "events_funnel",
     "events_interarrival",
     "events_watermark_lateness",
+    "events_top_users",
+    "source_lang_mix",
     "schema_profile",
     "q1_pricing_summary",
     "q3_top_orders",
@@ -215,6 +217,48 @@ def test_trending_tokens_semantics(ray_session, sf_dir):
     for r in rows:
         assert r["n"] == full[(r["minute"], r["tok"])]
         assert r["n_prev"] == full.get((r["minute"] - 1, r["tok"]), 0)
+
+
+def test_source_lang_mix_shares_sum_sanely(ray_session, sf_dir):
+    """Each source's doc counts sum to its corpus count and permille
+    shares sum to <= 1000 (floor division) and > 1000 - n_langs."""
+    import pyarrow.parquet as pq
+
+    from clangd_to_neo4j_ray.stages.text import source_lang_mix
+
+    rows = source_lang_mix(sf_dir).take_all()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["share_permille"])
+    for shares in per_src.values():
+        assert 1000 - len(shares) < sum(shares) <= 1000
+
+
+def test_events_top_users_counts_are_true_totals(ray_session, sf_dir):
+    """Reported counts equal the users' true per-type totals and each
+    type reports exactly k rows (corpus has >> k users per type)."""
+    from clangd_to_neo4j_ray.stages.windows import TOP_USERS_K, events_top_users
+
+    from .util import duckdb_con
+
+    rows = events_top_users(sf_dir).take_all()
+    per_type: dict = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(r)
+    con = duckdb_con(sf_dir)
+    truth = {
+        (et, u): n
+        for et, u, n in con.sql(
+            "SELECT event_type, user_id, count(*) FROM events GROUP BY 1, 2"
+        ).fetchall()
+    }
+    con.close()
+    for et, rs in per_type.items():
+        assert len(rs) == TOP_USERS_K
+        for r in rs:
+            assert truth[(et, r["user_id"])] == r["n_events"]
 
 
 def test_dedup_rate_with_planted_duplicates(ray_session, tmp_path):
